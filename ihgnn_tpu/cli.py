@@ -1,0 +1,267 @@
+"""Experiment driver — the ``python -m ihgnn_tpu.cli`` entry point.
+
+Replaces the reference's Main.py: dataset + model construction, optional
+checkpoint resume, the epoch loop with test/store scheduling, best-epoch
+selection by validation NDCG@10, and the metrics/long-tail result files
+(Main.py:20-327). All heavy work happens inside the jitted train/eval
+functions; this file is glue.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from ihgnn_tpu.config import Config, V, parse_args
+from ihgnn_tpu.data.dataset import EvalLogs, GraphData, TrainSampler
+from ihgnn_tpu.models.rawgnn import RawGnn
+from ihgnn_tpu.parallel.mesh import make_mesh
+from ihgnn_tpu.parallel.sharding import (pad_hypergraph_for_mesh, shard_batch,
+                                         shard_graph, shard_state)
+from ihgnn_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+from ihgnn_tpu.train.controller import ProcessController
+from ihgnn_tpu.train.eval import evaluate, make_eval_fns
+from ihgnn_tpu.train.metrics import Metrics, MetricsCollection
+from ihgnn_tpu.train.train import (adjust_lr_after_epoch, init_state,
+                                   make_optimizer, make_train_step)
+from ihgnn_tpu.utils.logging import end_logging, log_print, start_logging
+
+
+def result_dir_name(cfg: Config) -> str:
+    """Result directory naming convention (Main.py:80-88):
+    <dataset parts>-<Model>[-<L><Layer>][-O<order>]-emb<size>."""
+    parts = [p for p in cfg.io.data_dir.strip("/").split("/") if p][-2:]
+    model_names = {V.RAWGNN: "RawGnn", V.SRRL: "Srrl"}
+    layer_names = {V.GCN: "GCNLayer", V.GAT: "GATLayer",
+                   V.HGCN: "HGCNLayer", V.IHGNN: "IHGNNLayer"}
+    parts.append(model_names[cfg.model.model])
+    if cfg.model.model == V.RAWGNN:
+        parts.append(f"{cfg.model.gnn_layer_count}{layer_names[cfg.model.gnn]}")
+        if cfg.model.gnn == V.IHGNN:
+            parts.append(f"O{cfg.model.feature_interaction_order}")
+    parts.append(f"emb{cfg.model.embedding_size}")
+    return os.path.join(cfg.io.result_dir, "-".join(parts))
+
+
+def pick_graph(data: GraphData, cfg: Config):
+    if cfg.model.gnn in (V.GCN, V.GAT):
+        return data.graph2d
+    return data.hypergraph
+
+
+def run(cfg: Config) -> MetricsCollection:
+    t = cfg.train
+
+    result_dir = result_dir_name(cfg)
+    os.makedirs(result_dir, exist_ok=True)
+    stamp = time.strftime("%y%m%d-%H%M%S", time.localtime())
+    fn_log = f"{stamp}_train_log.txt" if cfg.io.store_metrics else "train_log.txt"
+    fn_metrics = f"{stamp}_metrics.txt"
+    start_logging(os.path.join(result_dir, fn_log))
+
+    log_print(f"devices: {jax.devices()}")
+    log_print(f"mesh: data={cfg.mesh.data} model={cfg.mesh.model}")
+    log_print(f"batch size: {t.batch_size} | lr: {t.learning_rate} | "
+              f"emb: {cfg.model.embedding_size} | wd: {t.weight_decay}")
+    log_print(f"neg sampling rand/nonrand: {t.random_negative_sample_size}/"
+              f"{t.non_random_negative_sample_size}")
+    log_print(f"model: {cfg.model.model} | gnn: {cfg.model.gnn} x "
+              f"{cfg.model.gnn_layer_count} | order: "
+              f"{cfg.model.feature_interaction_order} | dataset: {cfg.io.data_dir}")
+
+    # ---- data ----
+    log_print("loading dataset...")
+    data = GraphData.from_files(cfg.io.data_dir, "train",
+                                graph_completeness=cfg.model.graph_completeness,
+                                user_history_limit=cfg.runtime.user_history_limit)
+    valid = EvalLogs.from_file(os.path.join(cfg.io.data_dir, "valid_data.csv"))
+    test = EvalLogs.from_file(os.path.join(cfg.io.data_dir, "test_data.csv"))
+    log_print(f"users {data.user_count} queries {data.query_count} items "
+              f"{data.item_count} vocab {data.vocab_size} logs "
+              f"{len(data.search_logs)} positives {data.pos_count}")
+    log_print(f"valid logs {valid.count}/{valid.line_count}; "
+              f"test logs {test.count}/{test.line_count}")
+
+    # ---- mesh + model ----
+    mesh = make_mesh(cfg.mesh) if cfg.mesh.device_count > 1 else None
+    graph = pick_graph(data, cfg)
+    if mesh is not None and cfg.model.uses_hypergraph:
+        graph = pad_hypergraph_for_mesh(graph, cfg.mesh.data)
+
+    if cfg.model.model == V.RAWGNN:
+        model = RawGnn(cfg=cfg.model, user_count=data.user_count,
+                       query_count=data.query_count, item_count=data.item_count,
+                       vocab_size=data.vocab_size,
+                       table_row_multiple=max(cfg.mesh.model, 1))
+    elif cfg.model.model == V.SRRL:
+        from ihgnn_tpu.train.srrl_loop import run_srrl
+        return run_srrl(cfg, data, valid, test, result_dir, fn_metrics)
+    else:
+        raise ValueError(cfg.model.model)
+
+    tx = make_optimizer(cfg)
+    rng = jax.random.key(t.seed)
+    state = init_state(model, rng, graph, data.query_words,
+                       data.query_word_counts, cfg, tx)
+
+    n_params = sum(x.size for x in jax.tree.leaves(state.params))
+    log_print(f"model parameters: {n_params}")
+
+    # ---- checkpoint resume (Main.py:195-214) ----
+    epoch_start = 1
+    if cfg.io.checkpoint:
+        epoch_ckpt, state = restore_checkpoint(result_dir, cfg.io.checkpoint, state)
+        epoch_start = epoch_ckpt + 1
+        log_print(f"restored checkpoint at epoch {epoch_ckpt}")
+
+    row_multiple = cfg.mesh.data if mesh is not None else 1
+    sampler = TrainSampler(data, t.batch_size, t.random_negative_sample_size,
+                           t.non_random_negative_sample_size, seed=t.seed,
+                           row_multiple=row_multiple)
+
+    train_step = jax.jit(make_train_step(model, graph, data.query_words,
+                                         data.query_word_counts, tx),
+                         donate_argnums=(0,))
+    features_fn, metrics_fn = make_eval_fns(model, graph, data.query_words,
+                                            data.query_word_counts)
+
+    if mesh is not None:
+        state = shard_state(state, mesh)
+        graph = shard_graph(graph, mesh)
+
+    # ---- epoch loop (Main.py:238-290) ----
+    pc = ProcessController(
+        t.epoch_count, epoch_start, t.epoch_start_test, t.epoch_test_frequency,
+        t.epoch_count if cfg.io.store_checkpoint else None,
+        1000000 if cfg.io.store_checkpoint else None)
+    all_metrics = MetricsCollection(t.use_valid_dataset)
+    log_print(f"training: epochs {t.epoch_count} | test from "
+              f"{t.epoch_start_test} every {t.epoch_test_frequency}")
+
+    for epoch in pc:
+        t0 = time.time()
+        losses = []
+        n_rows = 0
+        for batch in sampler.epoch():
+            if mesh is not None:
+                batch = shard_batch(batch, mesh)
+            state, loss = train_step(state, batch)
+            losses.append(loss)
+        avg_loss = float(np.mean([float(l) for l in losses]))
+        dt = time.time() - t0
+        pc.AddTrainTime(dt)
+        log_print(f"[Epoch {epoch}/{pc.EndEpoch - 1}] avg loss {avg_loss:.4f} "
+                  f"on {data.pos_count} positives in {dt:.2f}s "
+                  f"(remaining {pc.GetRemainingTimeString()})")
+
+        state, changed = adjust_lr_after_epoch(state, avg_loss, cfg)
+        if changed:
+            log_print(f"learning rate adjusted to {float(state.lr):.6f}")
+
+        if pc.ShouldStore():
+            name = save_checkpoint(result_dir, epoch, jax.device_get(state))
+            log_print(f"checkpoint saved: {name}")
+
+        if pc.ShouldTest():
+            collect = bool(cfg.io.long_tail_filename)
+            feats = features_fn(state.params)
+            m_t, rows, time_t = evaluate(state.params, features_fn, metrics_fn,
+                                         test, t.eval_batch_size,
+                                         collect_rows=collect, features=feats)
+            log_print(f"test done in {time_t:.2f}s over {test.count} logs")
+            log_print(m_t.to_string(), put_time_in_single_line=True)
+
+            if collect:
+                write_long_tail(os.path.join(result_dir, cfg.io.long_tail_filename),
+                                data, test, rows)
+
+            if t.use_valid_dataset:
+                m_v, _, time_v = evaluate(state.params, features_fn, metrics_fn,
+                                          valid, t.eval_batch_size, features=feats)
+                log_print(f"valid done in {time_v:.2f}s")
+                log_print(m_v.to_string(), put_time_in_single_line=True)
+                all_metrics.add(epoch, m_t, m_v)
+                pc.AddTestTime(time_t + time_v)
+            else:
+                all_metrics.add(epoch, m_t)
+                pc.AddTestTime(time_t)
+
+            if cfg.io.store_metrics:
+                with open(os.path.join(result_dir, fn_metrics), "a",
+                          encoding="utf-8") as f:
+                    f.write(f"Epoch {epoch} Avg loss {avg_loss:.4f}\n"
+                            f"{m_t.to_string()}\n")
+
+    report_best(cfg, all_metrics, result_dir, fn_metrics)
+    end_logging()
+    return all_metrics
+
+
+def write_long_tail(path: str, data: GraphData, test: EvalLogs,
+                    rows: np.ndarray) -> None:
+    """Per-user averaged metrics CSV: user, history length, HR, NDCG, MAP
+    (Main.py:269-277)."""
+    _, item_history = data.user_history()
+    sums = np.zeros((data.user_count, 4))
+    counts = np.zeros(data.user_count, np.int64)
+    for i, u in enumerate(test.users):
+        sums[u] += rows[i]
+        counts[u] += 1
+    with open(path, "w", encoding="utf-8") as f:
+        for u in range(data.user_count):
+            hist = len(item_history[u])
+            if counts[u] == 0:
+                f.write(f"{u},{hist},,,\n")
+            else:
+                hr, ndcg, m_ap, _ = sums[u] / counts[u]
+                f.write(f"{u},{hist},{hr:.4f},{ndcg:.4f},{m_ap:.4f}\n")
+
+
+def report_best(cfg: Config, all_metrics: MetricsCollection, result_dir: str,
+                fn_metrics: str) -> None:
+    """Best-epoch selection by valid NDCG@10 + metrics file epilogue
+    (Main.py:292-325)."""
+    if not list(all_metrics.iter_epoch_test()):
+        return
+    if cfg.train.use_valid_dataset:
+        best_epoch, best_test, best_valid = all_metrics.get_valid_best(
+            key=lambda m: m.NDCG_at10)
+        log_print(f"Best valid metrics at epoch {best_epoch}:")
+        log_print(best_valid.to_string(), put_time_in_single_line=True)
+        log_print("Corresponding test metrics:")
+        log_print(best_test.to_string(), put_time_in_single_line=True)
+    else:
+        best_epoch, best_test = all_metrics.get_test_best(key=lambda m: m.NDCG_at10)
+        best_valid = None
+        log_print(f"Best test metrics at epoch {best_epoch}:")
+        log_print(best_test.to_string(), put_time_in_single_line=True)
+
+    if cfg.io.store_metrics:
+        with open(os.path.join(result_dir, fn_metrics), "a", encoding="utf-8") as f:
+            if best_valid is not None:
+                f.write(f"\n\nBest valid metrics at epoch {best_epoch}:\n")
+                f.write(best_valid.to_string())
+                f.write("\nCorresponding test metrics:\n")
+            else:
+                f.write("\nBest test metrics:\n")
+            f.write(best_test.to_string() + "\n")
+            f.write(f"\n\nAll TEST metrics:\nEpoch {Metrics.title}\n")
+            for e, m in all_metrics.iter_epoch_test():
+                f.write(f"{e} {m.to_string(no_title=True)}\n")
+            if cfg.train.use_valid_dataset:
+                f.write(f"\n\nAll VALID metrics:\nEpoch {Metrics.title}\n")
+                for e, _, m in all_metrics.iter_epoch_test_valid():
+                    f.write(f"{e} {m.to_string(no_title=True)}\n")
+
+
+def main(argv=None):
+    cfg = parse_args(argv)
+    run(cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,214 @@
+"""Graph packing: search-log interactions → frozen, sorted index arrays.
+
+TPU-first re-design of the reference graph builders (Helpers/Graph.py).
+Instead of device-resident ``torch.sparse_coo_tensor`` objects, graphs are
+immutable pytrees of pre-sorted NumPy/JAX arrays, laid out so every
+aggregation in the model is a *sorted segment-sum* (sequential, no atomics —
+the only scatter pattern TPUs run fast):
+
+* ``HyperGraph`` — one hyperedge per positive (u,q,i) interaction
+  (reference: Helpers/Graph.py:84-134). ``i3`` is the [E,3] endpoint array
+  (global node ids); the node-major incidence (``inc_node``/``inc_edge``,
+  sorted by node) drives the scatter side H·E of the convolution.
+* ``Graph2D`` — the bipartite/tripartite 2D graph with selectable
+  completeness uqi/uq/ui/qi (reference: Helpers/Graph.py:12-81). COO entries
+  are coalesced (duplicates summed) and sorted by (row, col); ``dst_order``
+  re-sorts entries by destination for GAT's per-destination softmax.
+* ``LogHyperGraph`` — one hyperedge per whole search log = {u, q, positive
+  items}, ragged edge degree (reference: Helpers/Graph.py:138-189).
+
+Node index space is [users | queries | items]: query ids are offset by
+user_count and item ids by user_count+query_count (Helpers/Graph.py:38-39).
+Zero-degree vertices get degree 1e-8 (Helpers/Graph.py:68,120,175).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import numpy as np
+from flax import struct
+
+from ihgnn_tpu.config import V
+
+DEGREE_FLOOR = 1e-8
+
+
+@struct.dataclass
+class HyperGraph:
+    """Hypergraph with fixed edge degree 3 (one edge per uqi interaction)."""
+
+    i3: np.ndarray        # [E, 3] int32 — (u, q, i) global node ids per edge
+    dv: np.ndarray        # [N, 1] f32 — vertex degrees (floored)
+    inc_node: np.ndarray  # [3E] int32 — node ids, sorted ascending
+    inc_edge: np.ndarray  # [3E] int32 — edge id of each incidence entry
+    # [E, 1] f32 zero/one mask over edges, or None when all edges are real;
+    # used when the edge axis is padded for even sharding
+    edge_mask: object = None
+    node_count: int = struct.field(pytree_node=False, default=0)
+    edge_count: int = struct.field(pytree_node=False, default=0)
+
+    @property
+    def edge_degrees(self) -> np.ndarray:
+        return np.full((self.edge_count, 1), 3.0, np.float32)
+
+
+@struct.dataclass
+class Graph2D:
+    """Coalesced symmetric 2D graph in sorted-COO form."""
+
+    row: np.ndarray        # [nnz] int32, sorted (lexicographic with col)
+    col: np.ndarray        # [nnz] int32
+    val: np.ndarray        # [nnz] f32 — summed duplicate multiplicities
+    dv: np.ndarray         # [N, 1] f32
+    dst_order: np.ndarray  # [nnz] int32 — permutation sorting entries by col
+    node_count: int = struct.field(pytree_node=False)
+    nnz: int = struct.field(pytree_node=False)
+
+
+@struct.dataclass
+class LogHyperGraph:
+    """Ragged hypergraph: one edge per search log with >=1 positive item."""
+
+    inc_node: np.ndarray       # [nnz] int32 — node ids, node-major sorted
+    inc_edge: np.ndarray       # [nnz] int32 — matching edge ids
+    edge_nodes: np.ndarray     # [nnz] int32 — node ids, edge-major sorted
+    edge_ids: np.ndarray       # [nnz] int32 — sorted edge ids (edge-major)
+    dv: np.ndarray             # [N, 1] f32
+    de: np.ndarray             # [E, 1] f32 — edge degrees
+    node_count: int = struct.field(pytree_node=False)
+    edge_count: int = struct.field(pytree_node=False)
+
+
+def _global_ids(u: np.ndarray, q: np.ndarray, i: np.ndarray,
+                user_count: int, query_count: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    return (u.astype(np.int64),
+            q.astype(np.int64) + user_count,
+            i.astype(np.int64) + user_count + query_count)
+
+
+def build_hypergraph(uqi: np.ndarray, node_count: int, user_count: int,
+                     query_count: int) -> HyperGraph:
+    """Pack positive interactions [P, >=3] of (u, q, i[, flag]) columns into a
+    ``HyperGraph``. Interactions with flag<=0 must be filtered by the caller
+    (the dataset layer only materializes positives)."""
+    uqi = np.asarray(uqi)
+    u, q, i = _global_ids(uqi[:, 0], uqi[:, 1], uqi[:, 2], user_count, query_count)
+    e_count = len(u)
+
+    i3 = np.stack([u, q, i], axis=1).astype(np.int32)
+
+    dv = np.zeros(node_count, np.float32)
+    np.add.at(dv, i3.reshape(-1).astype(np.int64), 1.0)
+    dv[dv == 0] = DEGREE_FLOOR
+
+    flat_nodes = i3.reshape(-1).astype(np.int64)
+    flat_edges = np.repeat(np.arange(e_count, dtype=np.int64), 3)
+    order = np.argsort(flat_nodes, kind="stable")
+
+    return HyperGraph(
+        i3=i3,
+        dv=dv.reshape(-1, 1),
+        inc_node=flat_nodes[order].astype(np.int32),
+        inc_edge=flat_edges[order].astype(np.int32),
+        node_count=int(node_count),
+        edge_count=int(e_count),
+    )
+
+
+def build_graph2d(uqif: np.ndarray, node_count: int, user_count: int,
+                  query_count: int, completeness: str = V.GRAPH_UQI,
+                  use_self_connection: bool = False) -> Graph2D:
+    """Pack positive interactions [P, 4] of (u, q, i, flag) into the 2D graph.
+
+    Mirrors Helpers/Graph.py:19-81: per interaction, symmetric edge pairs are
+    appended by completeness mode; COO duplicates are *summed* (torch
+    ``coalesce`` semantics), so repeated (u,q) pairs yield values > 1. Vertex
+    degrees count incidences (2 per interaction in uqi mode, 1 otherwise).
+    """
+    uqif = np.asarray(uqif)
+    u, q, i = _global_ids(uqif[:, 0], uqif[:, 1], uqif[:, 2], user_count, query_count)
+    flag = uqif[:, 3].astype(np.float32) if uqif.shape[1] > 3 else np.ones(len(u), np.float32)
+    ones = np.ones_like(flag)
+
+    if completeness == V.GRAPH_UQI:
+        # u-q, q-i, i-u and mirrors; i-u edges carry the flag value
+        rows = np.concatenate([u, q, i, i, q, u])
+        cols = np.concatenate([q, i, u, q, u, i])
+        vals = np.concatenate([ones, ones, flag, ones, ones, flag])
+        deg_nodes = np.concatenate([u, q, i])
+        deg_inc = 2.0
+    elif completeness == V.GRAPH_ONLY_UQ:
+        rows, cols = np.concatenate([u, q]), np.concatenate([q, u])
+        vals = np.concatenate([ones, ones])
+        deg_nodes, deg_inc = np.concatenate([u, q]), 1.0
+    elif completeness == V.GRAPH_ONLY_UI:
+        rows, cols = np.concatenate([u, i]), np.concatenate([i, u])
+        vals = np.concatenate([ones, ones])
+        deg_nodes, deg_inc = np.concatenate([u, i]), 1.0
+    elif completeness == V.GRAPH_ONLY_QI:
+        rows, cols = np.concatenate([q, i]), np.concatenate([i, q])
+        vals = np.concatenate([ones, ones])
+        deg_nodes, deg_inc = np.concatenate([q, i]), 1.0
+    else:
+        raise ValueError(f"unknown graph completeness {completeness!r}")
+
+    dv = np.zeros(node_count, np.float32)
+    if use_self_connection:
+        rows = np.concatenate([rows, np.arange(node_count)])
+        cols = np.concatenate([cols, np.arange(node_count)])
+        vals = np.concatenate([vals, np.ones(node_count, np.float32)])
+        dv += 1.0
+    np.add.at(dv, deg_nodes, deg_inc)
+    if not use_self_connection:
+        dv[dv == 0] = DEGREE_FLOOR
+
+    # coalesce: sum duplicates, sort by (row, col)
+    keys = rows * node_count + cols
+    uniq, inverse = np.unique(keys, return_inverse=True)
+    val_sum = np.zeros(len(uniq), np.float32)
+    np.add.at(val_sum, inverse, vals)
+    crow = (uniq // node_count).astype(np.int32)
+    ccol = (uniq % node_count).astype(np.int32)
+
+    dst_order = np.argsort(ccol, kind="stable").astype(np.int32)
+
+    return Graph2D(
+        row=crow, col=ccol, val=val_sum,
+        dv=dv.reshape(-1, 1).astype(np.float32),
+        dst_order=dst_order,
+        node_count=int(node_count),
+        nnz=int(len(uniq)),
+    )
+
+
+def build_log_hypergraph(log_nodes: Sequence[Sequence[int]],
+                         node_count: int) -> LogHyperGraph:
+    """Pack per-log node lists (already offset to global ids, each list =
+    {u, q, positive items}; lists with only {u, q} must be dropped by the
+    caller) into a ragged ``LogHyperGraph`` (Helpers/Graph.py:148-189)."""
+    edge_ids, flat_nodes, de = [], [], []
+    for e, nodes in enumerate(log_nodes):
+        flat_nodes.extend(nodes)
+        edge_ids.extend([e] * len(nodes))
+        de.append(len(nodes))
+    e_count = len(de)
+    flat_nodes = np.asarray(flat_nodes, np.int64)
+    edge_ids = np.asarray(edge_ids, np.int64)
+
+    dv = np.zeros(node_count, np.float32)
+    np.add.at(dv, flat_nodes, 1.0)
+    dv[dv == 0] = DEGREE_FLOOR
+
+    node_order = np.argsort(flat_nodes, kind="stable")
+
+    return LogHyperGraph(
+        inc_node=flat_nodes[node_order].astype(np.int32),
+        inc_edge=edge_ids[node_order].astype(np.int32),
+        edge_nodes=flat_nodes.astype(np.int32),
+        edge_ids=edge_ids.astype(np.int32),
+        dv=dv.reshape(-1, 1),
+        de=np.asarray(de, np.float32).reshape(-1, 1),
+        node_count=int(node_count),
+        edge_count=int(e_count),
+    )

@@ -1,0 +1,134 @@
+"""Sharding rules: which axis of which array lives on which mesh axis.
+
+Placement plan (GSPMD inserts the collectives):
+
+* embedding tables (``*_table`` params) — rows sharded over ``model``;
+  endpoint/word gathers lower to all-to-all over ICI, gradient scatter-adds
+  go back the same way. Tables are row-padded to a multiple of the model
+  axis size (models/embedding.py ``row_multiple``).
+* hyperedge arrays (``i3``, incidence pairs) and training batches — sharded
+  over ``data``; per-shard segment-sums combine with psum/reduce-scatter.
+* dense tower params, degree vectors, query word matrix — replicated.
+
+Single-chip (1x1 mesh) degenerates to fully-replicated placement with the
+same code path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ihgnn_tpu.graph import Graph2D, HyperGraph, LogHyperGraph
+from ihgnn_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+TABLE_PARAM_NAMES = ("user_table", "item_table", "vocab_table")
+
+
+def _param_spec_tree(params: Any) -> Any:
+    """PartitionSpec tree matching a param pytree: tables row-sharded on
+    'model', everything else replicated."""
+    flat = jax.tree_util.tree_flatten_with_path(params)
+    specs = []
+    for path, leaf in flat[0]:
+        keys = [getattr(k, "key", getattr(k, "name", None)) for k in path]
+        if any(k in TABLE_PARAM_NAMES for k in keys) and getattr(leaf, "ndim", 0) >= 1:
+            specs.append(P(MODEL_AXIS, *([None] * (leaf.ndim - 1))))
+        else:
+            specs.append(P())
+    return jax.tree_util.tree_unflatten(flat[1], specs)
+
+
+def state_sharding(state, mesh: Mesh):
+    """NamedSharding tree for a TrainState (params + mirrored adam moments)."""
+    def to_sharding(spec_tree):
+        return jax.tree.map(lambda s: NamedSharding(mesh, s), spec_tree,
+                            is_leaf=lambda x: isinstance(x, P))
+
+    param_specs = _param_spec_tree(state.params)
+    # opt_state: scale_by_adam's mu/nu mirror the param tree structure;
+    # replicate any non-mirroring leaves (counts etc.)
+    def opt_spec(leaf_path, leaf):
+        keys = [getattr(k, "key", getattr(k, "name", None)) for k in leaf_path]
+        if any(k in TABLE_PARAM_NAMES for k in keys) and getattr(leaf, "ndim", 0) >= 1:
+            return P(MODEL_AXIS, *([None] * (leaf.ndim - 1)))
+        return P()
+
+    flat = jax.tree_util.tree_flatten_with_path(state.opt_state)
+    opt_specs = jax.tree_util.tree_unflatten(
+        flat[1], [opt_spec(p, l) for p, l in flat[0]])
+
+    return dataclasses.replace(
+        state,
+        params=to_sharding(param_specs),
+        opt_state=to_sharding(opt_specs),
+        step=NamedSharding(mesh, P()),
+        lr=NamedSharding(mesh, P()),
+    )
+
+
+def shard_state(state, mesh: Mesh):
+    return jax.device_put(state, state_sharding(state, mesh))
+
+
+def graph_sharding(graph, mesh: Mesh):
+    """NamedSharding tree for a packed graph: edge-indexed arrays over
+    'data', per-node arrays replicated."""
+    rep = NamedSharding(mesh, P())
+    edge = NamedSharding(mesh, P(DATA_AXIS))
+    edge2d = NamedSharding(mesh, P(DATA_AXIS, None))
+    if isinstance(graph, HyperGraph):
+        mask = None if graph.edge_mask is None else edge2d
+        return graph.replace(i3=edge2d, dv=rep, inc_node=edge, inc_edge=edge,
+                             edge_mask=mask)
+    if isinstance(graph, Graph2D):
+        return graph.replace(row=edge, col=edge, val=edge, dv=rep, dst_order=edge)
+    if isinstance(graph, LogHyperGraph):
+        return graph.replace(inc_node=edge, inc_edge=edge, edge_nodes=edge,
+                             edge_ids=edge, dv=rep, de=rep)
+    raise TypeError(type(graph))
+
+
+def shard_graph(graph, mesh: Mesh):
+    return jax.device_put(graph, graph_sharding(graph, mesh))
+
+
+def batch_sharding(batch, mesh: Mesh):
+    return jax.tree.map(lambda _: NamedSharding(mesh, P(DATA_AXIS)), batch)
+
+
+def shard_batch(batch, mesh: Mesh):
+    return jax.device_put(batch, batch_sharding(batch, mesh))
+
+
+def round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def pad_hypergraph_for_mesh(graph: HyperGraph, data_parallel: int) -> HyperGraph:
+    """Pad edge count to a multiple of the data axis so edge arrays shard
+    evenly. Padded i3 rows point at node 0 but their edge features are
+    zeroed via ``edge_mask`` handling in the layers; padded incidence
+    entries target the last node with edge ids of padded (zero) edges."""
+    e = graph.edge_count
+    e_pad = round_up(max(e, 1), data_parallel)
+    if e_pad == e:
+        return graph
+    n_extra = e_pad - e
+    i3 = np.concatenate([graph.i3, np.zeros((n_extra, 3), np.int32)], axis=0)
+    # incidence gets 3 entries per padded edge, appended at the max node id
+    # (keeps node-major sortedness); contributions are zero via edge masking
+    last_node = graph.node_count - 1
+    inc_node = np.concatenate([graph.inc_node,
+                               np.full(3 * n_extra, last_node, np.int32)])
+    inc_edge = np.concatenate([graph.inc_edge,
+                               np.repeat(np.arange(e, e_pad, dtype=np.int32), 3)])
+    mask = np.zeros((e_pad, 1), np.float32)
+    mask[:e] = 1.0
+    return HyperGraph(i3=i3, dv=graph.dv, inc_node=inc_node, inc_edge=inc_edge,
+                      edge_mask=mask, node_count=graph.node_count,
+                      edge_count=int(e_pad))

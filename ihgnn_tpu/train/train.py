@@ -1,0 +1,96 @@
+"""Jitted training step and train state.
+
+The step is one pure function: full-graph forward (the reference's per-step
+semantics, SURVEY.md §3.1), pointwise BCE-with-logits over the padded
+positive+negative rows (Main.py:191, TrainTestHelper.py:126-134), Adam with
+torch-style (coupled) weight decay, and a *dynamic* learning rate passed as
+an argument — the reference's host-side LR decay (×0.98 when the epoch's
+average loss dips below 0.008 while lr > 4e-4, TrainTestHelper.py:155-159)
+changes lr between epochs without recompiling.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ihgnn_tpu.config import Config
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray    # int32 scalar
+    lr: jnp.ndarray      # f32 scalar (dynamic, host-adjusted between epochs)
+
+
+def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    """Adam moments only; the learning-rate scale is applied in the step so
+    lr can change without recompilation. torch Adam's weight_decay couples
+    decay into the gradient *before* the moments — replicated here."""
+    parts = []
+    if cfg.train.weight_decay:
+        parts.append(optax.add_decayed_weights(cfg.train.weight_decay))
+    parts.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
+    return optax.chain(*parts)
+
+
+def bce_with_logits(logits: jnp.ndarray, labels: jnp.ndarray,
+                    weight: jnp.ndarray) -> jnp.ndarray:
+    """Weighted mean sigmoid BCE (padding rows carry weight 0)."""
+    per_row = optax.sigmoid_binary_cross_entropy(logits, labels)
+    return jnp.sum(per_row * weight) / jnp.maximum(jnp.sum(weight), 1.0)
+
+
+def make_train_step(model, graph, query_words, query_word_counts,
+                    tx: optax.GradientTransformation) -> Callable:
+    """Returns train_step(state, batch) -> (state, loss). Graph arrays are
+    closed over as constants (donated to the compiled executable once)."""
+
+    def loss_fn(params, batch):
+        logits = model.apply(params, graph, query_words, query_word_counts,
+                             batch.users, batch.queries, batch.items)
+        return bce_with_logits(logits, batch.flags, batch.weight)
+
+    def train_step(state: TrainState, batch) -> Tuple[TrainState, jnp.ndarray]:
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        updates = jax.tree.map(lambda u: -state.lr * u, updates)
+        params = optax.apply_updates(state.params, updates)
+        return dataclasses.replace(state, params=params, opt_state=opt_state,
+                                   step=state.step + 1), loss
+
+    return train_step
+
+
+def init_state(model, rng, graph, query_words, query_word_counts,
+               cfg: Config, tx: optax.GradientTransformation) -> TrainState:
+    users = jnp.zeros((1,), jnp.int32)
+    queries = jnp.zeros((1,), jnp.int32)
+    items = jnp.zeros((1,), jnp.int32)
+    params = model.init(rng, graph, query_words, query_word_counts,
+                        users, queries, items)
+    return TrainState(
+        params=params,
+        opt_state=tx.init(params),
+        step=jnp.zeros((), jnp.int32),
+        lr=jnp.asarray(cfg.train.learning_rate, jnp.float32),
+    )
+
+
+def adjust_lr_after_epoch(state: TrainState, avg_loss: float, cfg: Config,
+                          is_rawgnn: bool = True) -> Tuple[TrainState, bool]:
+    """Host-side epoch-level LR decay (TrainTestHelper.py:155-159)."""
+    t = cfg.train
+    if (t.adjust_learning_rate and is_rawgnn
+            and avg_loss < t.lr_decay_loss_threshold
+            and float(state.lr) > t.lr_floor):
+        new_lr = float(state.lr) * t.lr_decay_factor
+        return dataclasses.replace(state, lr=jnp.asarray(new_lr, jnp.float32)), True
+    return state, False
