@@ -1,0 +1,132 @@
+"""Headline benchmark: hyperedge aggregation throughput of the full IHGNN
+training step on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Definition: one "hyperedge aggregation" = one edge's gather(3 endpoint
+rows) + feature-cross + projection + scatter-add back to its 3 nodes,
+inside a *training* step (forward + backward + Adam). With E edges and L
+GNN layers, a step performs E*L forward aggregations; we report
+  value = E * L * steps / elapsed_seconds   [aggregations/s/chip]
+
+vs_baseline is the fraction of the HBM speed-of-light estimate for this
+dtype/width (the op is bandwidth-bound: per edge-aggregation fwd+bwd moves
+roughly 3 endpoint reads + 1 edge write + 1 edge read + 3 node
+accumulations, x2 for the backward pass).
+
+Config (mid-size, fits one v5e): 200k users / 100k queries / 400k items /
+100k vocab, 2M hyperedges, d=32, 2 layers (order 3 + order 1), batch 1024
+positives x 10 negatives.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def build_bench_graph(user_count, query_count, item_count, edge_count, seed=0):
+    """Directly generate packed arrays (bypasses the python log pipeline)."""
+    from ihgnn_tpu.graph import build_hypergraph
+
+    rng = np.random.default_rng(seed)
+    node_count = user_count + query_count + item_count
+    uqif = np.stack([
+        rng.integers(0, user_count, edge_count),
+        rng.integers(0, query_count, edge_count),
+        rng.integers(0, item_count, edge_count),
+        np.ones(edge_count, np.int64),
+    ], axis=1).astype(np.int64)
+    return build_hypergraph(uqif, node_count, user_count, query_count), uqif
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from ihgnn_tpu.config import Config, ModelConfig, TrainConfig
+    from ihgnn_tpu.data.dataset import Batch, pad_ragged
+    from ihgnn_tpu.models.rawgnn import RawGnn
+    from ihgnn_tpu.train.train import init_state, make_optimizer, make_train_step
+
+    U, Q, I, V = 200_000, 100_000, 400_000, 100_000
+    E, D, L = 2_000_000, 32, 2
+    B, K = 1024, 10
+
+    cfg = Config(model=ModelConfig(embedding_size=D, gnn_layer_count=L,
+                                   feature_interaction_order=3),
+                 train=TrainConfig(batch_size=B, random_negative_sample_size=K))
+
+    graph, uqif = build_bench_graph(U, Q, I, E)
+
+    rng = np.random.default_rng(1)
+    # queries: 4 words each (padded matrix [Q, 4])
+    qw = rng.integers(1, V + 1, size=(Q, 4)).astype(np.int32)
+    qc = np.full(Q, 4, np.int32)
+
+    model = RawGnn(cfg=cfg.model, user_count=U, query_count=Q, item_count=I,
+                   vocab_size=V)
+    tx = make_optimizer(cfg)
+    t0 = time.time()
+    state = init_state(model, jax.random.key(0), graph, qw, qc, cfg, tx)
+    print(f"# init {time.time()-t0:.1f}s params="
+          f"{sum(x.size for x in jax.tree.leaves(state.params)):,}")
+
+    def make_batch(seed):
+        r = np.random.default_rng(seed)
+        idx = r.integers(0, E, B)
+        rows = B * (1 + K)
+        users = np.zeros(rows, np.int32)
+        queries = np.zeros(rows, np.int32)
+        items = np.zeros(rows, np.int32)
+        flags = np.zeros(rows, np.float32)
+        users[:B] = uqif[idx, 0]; queries[:B] = uqif[idx, 1]
+        items[:B] = uqif[idx, 2]; flags[:B] = 1.0
+        users[B:] = np.repeat(users[:B], K)
+        queries[B:] = np.repeat(queries[:B], K)
+        items[B:] = r.integers(0, I, B * K)
+        return Batch(users=users, queries=queries, items=items, flags=flags,
+                     weight=np.ones(rows, np.float32))
+
+    step = jax.jit(make_train_step(model, graph, qw, qc, tx),
+                   donate_argnums=(0,))
+    batches = [jax.device_put(make_batch(s)) for s in range(4)]
+
+    # warmup / compile
+    t0 = time.time()
+    state, loss = step(state, batches[0])
+    jax.block_until_ready(loss)
+    print(f"# compile+first step {time.time()-t0:.1f}s loss={float(loss):.4f}")
+
+    n_steps = 20
+    t0 = time.time()
+    for i in range(n_steps):
+        state, loss = step(state, batches[i % 4])
+    jax.block_until_ready(loss)
+    dt = time.time() - t0
+    step_time = dt / n_steps
+
+    agg_per_s = E * L / step_time
+    examples_per_s = B / step_time
+
+    # speed-of-light: bandwidth-bound estimate. Per edge-aggregation,
+    # fwd: 3 gathers (3*D*4 B) + edge write (D*4) + edge read + 3 scatter
+    # accum (read+write ~ 6*D*4); bwd roughly doubles traffic.
+    bytes_per_agg = (3 + 1 + 1 + 6) * D * 4 * 2
+    hbm_gbps = 819e9  # TPU v5e HBM bandwidth
+    sol_agg_per_s = hbm_gbps / bytes_per_agg
+
+    print(f"# step_time {step_time*1e3:.1f} ms | {examples_per_s:,.0f} examples/s"
+          f" | {agg_per_s/1e6:.1f}M agg/s | SoL {sol_agg_per_s/1e6:.0f}M agg/s")
+    print(json.dumps({
+        "metric": "hyperedge_aggregations_per_s_per_chip",
+        "value": round(agg_per_s, 1),
+        "unit": "aggregations/s",
+        "vs_baseline": round(agg_per_s / sol_agg_per_s, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

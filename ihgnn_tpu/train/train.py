@@ -74,8 +74,10 @@ def init_state(model, rng, graph, query_words, query_word_counts,
     users = jnp.zeros((1,), jnp.int32)
     queries = jnp.zeros((1,), jnp.int32)
     items = jnp.zeros((1,), jnp.int32)
-    params = model.init(rng, graph, query_words, query_word_counts,
-                        users, queries, items)
+    # jit the init: eager tracing dispatches each op separately, which is
+    # prohibitively slow over a remote-TPU transport
+    params = jax.jit(model.init)(rng, graph, query_words, query_word_counts,
+                                 users, queries, items)
     return TrainState(
         params=params,
         opt_state=tx.init(params),

@@ -1,0 +1,125 @@
+"""Srrl model + sampler + alternating trainer tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ihgnn_tpu.config import Config, ModelConfig, TrainConfig
+from ihgnn_tpu.data.dataset import TrainSampler
+from ihgnn_tpu.data.srrl_sampler import MetaPaths, SrrlKGSampler
+from ihgnn_tpu.data.synthetic import make_synthetic_splits
+from ihgnn_tpu.models.srrl import KG_MODES, Srrl
+from ihgnn_tpu.train.srrl_loop import (init_srrl, make_kg_steps, make_ps_step,
+                                       make_eval_fns_srrl, make_srrl_optimizers,
+                                       _phase_masks)
+from ihgnn_tpu.train.eval import evaluate
+
+D = 8
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = Config(model=ModelConfig(embedding_size=D),
+                 train=TrainConfig(batch_size=16,
+                                   random_negative_sample_size=4,
+                                   learning_rate=5e-3))
+    train, valid, test = make_synthetic_splits(
+        user_count=10, query_count=8, item_count=15, vocab_size=12,
+        log_count=120, seed=9)
+    model, state, tx_kg, tx_ps = init_srrl(cfg, train, jax.random.key(0))
+    return cfg, train, valid, test, model, state, tx_kg, tx_ps
+
+
+def test_metapaths_indexing(setup):
+    _, train, *_ = setup
+    mp = MetaPaths(train)
+    assert len(mp.positive_interactions) == train.pos_count
+    u, q, i = mp.positive_interactions[0]
+    assert i in mp.positive_tails[(u, q)]
+    assert u in mp.positive_heads[(q, i)]
+    assert q in mp.positive_queries[(u, i)]
+    # frequency: 3 + count
+    count = sum(1 for uu, qq, _ in mp.positive_interactions if (uu, qq) == (u, q))
+    assert mp.head_query_frequency[(u, q)] == 3 + count
+
+
+def test_kg_sampler_rotates_modes(setup):
+    _, train, *_ = setup
+    sampler = SrrlKGSampler(MetaPaths(train), batch_size=8,
+                            negative_sample_size=3, seed=0)
+    modes = [sampler.next()[0] for _ in range(6)]
+    assert modes == list(KG_MODES) * 2
+    _, triples, negs, weights, company = sampler.next()
+    assert triples.shape == (8, 3) and negs.shape == (8, 3)
+    assert np.all(weights > 0) and np.all(weights <= 1 / 2)  # sqrt(1/4) max
+
+
+def test_phase_masks_partition(setup):
+    *_, model, state, _, _ = setup[:8]
+    kg_mask, ps_mask = _phase_masks(state.params)
+    flat_kg = jax.tree_util.tree_flatten_with_path(kg_mask)[0]
+    flat_ps = jax.tree_util.tree_flatten_with_path(ps_mask)[0]
+    names = lambda fl: {jax.tree_util.keystr(p) for p, v in fl if v}
+    kg_names, ps_names = names(flat_kg), names(flat_ps)
+    assert any("KG" in n and "user_table" in n for n in kg_names)
+    assert any("ps_mlp_uq" in n for n in ps_names)
+    # vocab table is in both phases
+    vocab = [n for n in kg_names if "vocab_table" in n]
+    assert vocab and all(n in ps_names for n in vocab)
+    # PS tables are not trained by the KG phase
+    assert not any("'PS'" in n for n in kg_names)
+
+
+def test_kg_scores_shapes(setup):
+    cfg, train, _, _, model, state, *_ = setup
+    triples = jnp.asarray(train.pos_uqif[:5, :3].astype(np.int32))
+    negs = jnp.zeros((5, 3), jnp.int32)
+    company = jnp.zeros((5,), jnp.int32)
+    for mode in KG_MODES:
+        pos = model.apply(state.params, triples, None, company, mode,
+                          train.query_words, train.query_word_counts,
+                          method=model.trainkg)
+        neg = model.apply(state.params, triples, negs, company, mode,
+                          train.query_words, train.query_word_counts,
+                          method=model.trainkg)
+        assert pos.shape == (5, 1) and neg.shape == (5, 3)
+        assert np.isfinite(np.asarray(pos)).all()
+
+
+def test_alternating_training_decreases_loss(setup):
+    cfg, train, valid, test, model, state, tx_kg, tx_ps = setup
+    kg_sampler = SrrlKGSampler(MetaPaths(train), cfg.train.batch_size, 4, seed=1)
+    ps_sampler = TrainSampler(train, cfg.train.batch_size,
+                              cfg.train.random_negative_sample_size, seed=1)
+    kg_steps = make_kg_steps(model, train.query_words, train.query_word_counts,
+                             tx_kg, cfg)
+    ps_step = make_ps_step(model, train.query_words, train.query_word_counts,
+                           tx_ps, cfg)
+
+    first_ps, last_ps = None, None
+    for _ in range(6):
+        for _ in range(kg_sampler.steps_per_epoch):
+            mode, triples, negs, w, comp = kg_sampler.next()
+            state, kg_loss = kg_steps[mode](state, triples, negs, w, comp)
+        losses = []
+        for batch in ps_sampler.epoch():
+            state, loss = ps_step(state, batch)
+            losses.append(float(loss))
+        last_ps = np.mean(losses)
+        if first_ps is None:
+            first_ps = last_ps
+    assert np.isfinite(last_ps)
+    assert last_ps < first_ps, (first_ps, last_ps)
+
+    features_fn, metrics_fn = make_eval_fns_srrl(model, train)
+    m, _, _ = evaluate(state.params, features_fn, metrics_fn, test, batch_size=8)
+    assert 0.0 <= m.HitRatio_at10 <= 1.0
+
+
+def test_srrl_embedding_rows_unit_norm(setup):
+    *_, state, _, _ = setup[:8]
+    kg_user = np.asarray(state.params["params"]["KG"]["user_table"])
+    norms = np.linalg.norm(kg_user[1:], axis=1)
+    np.testing.assert_allclose(norms, 1.0, rtol=1e-5)
+    assert np.allclose(kg_user[0], 0.0)
