@@ -45,6 +45,13 @@ class HyperGraph:
     # [E, 1] f32 zero/one mask over edges, or None when all edges are real;
     # used when the edge axis is padded for even sharding
     edge_mask: object = None
+    # Pallas kernel packing (ops/pallas/segsum.py); None when not packed.
+    # All are keyed by node-major incidence position k, padded to a DMA
+    # block multiple (padding gathers row 0, masked out by pk_tile_ptr).
+    pk_inc_perm: object = None   # [K_pad] int32 — flat edge-major pos 3e+r
+    pk_inc_edge: object = None   # [K_pad] int32 — edge id e
+    pk_ids2d: object = None      # [K_pad/128, 128] int32 — sorted node ids
+    pk_tile_ptr: object = None   # [T+1] int32 — node-tile entry offsets
     node_count: int = struct.field(pytree_node=False, default=0)
     edge_count: int = struct.field(pytree_node=False, default=0)
 
@@ -105,12 +112,29 @@ def build_hypergraph(uqi: np.ndarray, node_count: int, user_count: int,
     flat_nodes = i3.reshape(-1).astype(np.int64)
     flat_edges = np.repeat(np.arange(e_count, dtype=np.int64), 3)
     order = np.argsort(flat_nodes, kind="stable")
+    sorted_nodes = flat_nodes[order].astype(np.int32)
+
+    # Pallas kernel packing: pad incidence to a DMA-block multiple
+    from ihgnn_tpu.ops.pallas.segsum import BLOCK, pack_csr_tiles
+    k = len(order)
+    k_pad = -(-max(k, 1) // BLOCK) * BLOCK
+    pad = k_pad - k
+    ids_pad = np.concatenate([sorted_nodes,
+                              np.full(pad, 2**31 - 1, np.int32)])
+    tile_ptr, _ = pack_csr_tiles(sorted_nodes, node_count)
+    inc_perm = np.concatenate([order, np.zeros(pad, np.int64)]).astype(np.int32)
+    inc_edge_pad = np.concatenate([flat_edges[order],
+                                   np.zeros(pad, np.int64)]).astype(np.int32)
 
     return HyperGraph(
         i3=i3,
         dv=dv.reshape(-1, 1),
-        inc_node=flat_nodes[order].astype(np.int32),
+        inc_node=sorted_nodes,
         inc_edge=flat_edges[order].astype(np.int32),
+        pk_inc_perm=inc_perm,
+        pk_inc_edge=inc_edge_pad,
+        pk_ids2d=ids_pad.reshape(-1, 128),
+        pk_tile_ptr=tile_ptr,
         node_count=int(node_count),
         edge_count=int(e_count),
     )

@@ -28,10 +28,11 @@ class FeatureInteractor(nn.Module):
     output_dim: int
 
     @nn.compact
-    def __call__(self, node_features: jnp.ndarray, i3: jnp.ndarray) -> jnp.ndarray:
-        """node_features: [N, d]; i3: [E, 3] endpoint ids → [E, out]."""
+    def __call__(self, uqi: jnp.ndarray) -> jnp.ndarray:
+        """uqi: [E, 3, d] gathered endpoint rows → [E, out]. (The gather is
+        done by the caller through ops.hyperagg so its VJP uses the Pallas
+        segment-sum kernel.)"""
         d = self.feature_dim
-        uqi = node_features[i3]                        # [E, 3, d]
         if self.max_order == 1:
             feats = uqi.reshape(-1, 3 * d)
             width = 3 * d

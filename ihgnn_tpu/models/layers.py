@@ -31,6 +31,7 @@ from ihgnn_tpu.models.initializers import (LEAKY_RELU_GAIN, torch_linear_bias,
                                            xavier_uniform)
 from ihgnn_tpu.models.interaction import FeatureInteractor
 from ihgnn_tpu.ops import segment_softmax, segment_sum, spmm
+from ihgnn_tpu.ops.hyperagg import make_hyper_ops
 
 
 class GCNLayer(nn.Module):
@@ -107,7 +108,8 @@ AnyHyperGraph = Union[HyperGraph, LogHyperGraph]
 def _edge_mean(x: jnp.ndarray, graph: AnyHyperGraph) -> jnp.ndarray:
     """De^-1 · Hᵀ · x — mean of member-node features per hyperedge."""
     if isinstance(graph, HyperGraph):
-        edge = x[graph.i3].sum(axis=1) / 3.0
+        gather, _ = make_hyper_ops(graph)
+        edge = gather(x).sum(axis=1) / 3.0
         if graph.edge_mask is not None:
             edge = edge * graph.edge_mask
         return edge
@@ -118,6 +120,9 @@ def _edge_mean(x: jnp.ndarray, graph: AnyHyperGraph) -> jnp.ndarray:
 
 def _edge_scatter(edge_feats: jnp.ndarray, graph: AnyHyperGraph) -> jnp.ndarray:
     """H · E — sum of member-edge features per node (sorted incidence)."""
+    if isinstance(graph, HyperGraph):
+        _, scatter = make_hyper_ops(graph)
+        return scatter(edge_feats)
     return segment_sum(edge_feats[graph.inc_edge], graph.inc_node,
                        graph.node_count, indices_are_sorted=True)
 
@@ -145,8 +150,9 @@ class IHGNNLayer(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, graph: HyperGraph) -> jnp.ndarray:
         x = TorchDense(self.out_dim, self.in_dim, name="feature_transform")(x)
+        gather, _ = make_hyper_ops(graph)
         edge = FeatureInteractor(self.interaction_order, self.out_dim,
-                                 self.out_dim, name="interactor")(x, graph.i3)
+                                 self.out_dim, name="interactor")(gather(x))
         if graph.edge_mask is not None:
             edge = edge * graph.edge_mask  # zero padded edges (even sharding)
 

@@ -83,8 +83,10 @@ def graph_sharding(graph, mesh: Mesh):
     edge2d = NamedSharding(mesh, P(DATA_AXIS, None))
     if isinstance(graph, HyperGraph):
         mask = None if graph.edge_mask is None else edge2d
+        pk = {f: (None if getattr(graph, f) is None else rep)
+              for f in ("pk_inc_perm", "pk_inc_edge", "pk_ids2d", "pk_tile_ptr")}
         return graph.replace(i3=edge2d, dv=rep, inc_node=edge, inc_edge=edge,
-                             edge_mask=mask)
+                             edge_mask=mask, **pk)
     if isinstance(graph, Graph2D):
         return graph.replace(row=edge, col=edge, val=edge, dv=rep, dst_order=edge)
     if isinstance(graph, LogHyperGraph):

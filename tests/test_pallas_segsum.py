@@ -1,0 +1,101 @@
+"""Pallas CSR segment-sum kernel: correctness in interpreter mode (CPU),
+plus the custom-vjp hyperedge ops against the XLA reference path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ihgnn_tpu.data.synthetic import make_synthetic_data
+from ihgnn_tpu.ops.hyperagg import make_hyper_ops
+from ihgnn_tpu.ops.pallas.segsum import (BLOCK, csr_segment_sum,
+                                         pack_csr_tiles,
+                                         prepare_segment_inputs)
+
+D = 32
+
+
+@pytest.mark.parametrize("n,k", [(700, 5000), (100, 50), (1, 1), (300, 2048)])
+def test_kernel_matches_xla(n, k):
+    rng = np.random.default_rng(n + k)
+    ids = np.sort(rng.integers(0, n, k)).astype(np.int32)
+    vals = jnp.asarray(rng.standard_normal((k, D)).astype(np.float32))
+    v, ids2d, ptr = prepare_segment_inputs(vals, ids, n)
+    out = csr_segment_sum(v, ids2d, ptr, n, interpret=True)
+    ref = jax.ops.segment_sum(vals, jnp.asarray(ids), n)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_kernel_skewed_degrees():
+    rng = np.random.default_rng(0)
+    n, k = 500, 8000
+    # one hub segment holding half the entries + many empty segments
+    ids = np.sort(np.concatenate([
+        np.zeros(4000, np.int64),
+        rng.integers(400, 500, 4000)])).astype(np.int32)
+    vals = jnp.asarray(rng.standard_normal((k, D)).astype(np.float32))
+    v, ids2d, ptr = prepare_segment_inputs(vals, ids, n)
+    out = csr_segment_sum(v, ids2d, ptr, n, interpret=True)
+    ref = jax.ops.segment_sum(vals, jnp.asarray(ids), n)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-3, atol=2e-3)
+
+
+def test_pack_csr_tiles():
+    ids = np.array([0, 0, 3, 129, 129, 129, 400], np.int32)
+    ptr, n_pad = pack_csr_tiles(ids, 401)
+    # tiles of 128: tile 0 covers nodes [0,128) -> entries [0,3)
+    assert ptr[0] == 0 and ptr[1] == 3
+    assert ptr[2] == 6   # nodes [128,256) -> 3 entries
+    assert ptr[-1] == 7
+
+
+def test_hypergraph_carries_packing():
+    data = make_synthetic_data(user_count=6, query_count=5, item_count=9,
+                               vocab_size=12, log_count=40, seed=3)
+    g = data.hypergraph
+    assert g.pk_tile_ptr is not None
+    k_pad = len(g.pk_inc_edge)
+    assert k_pad % BLOCK == 0
+    # packing consistency: pk_inc_edge == inc_edge on real entries
+    np.testing.assert_array_equal(g.pk_inc_edge[:len(g.inc_edge)], g.inc_edge)
+    np.testing.assert_array_equal(g.pk_inc_perm[:len(g.inc_edge)] // 3,
+                                  g.inc_edge)
+    # the perm recovers node-major node ids from edge-major flat i3
+    flat = np.asarray(g.i3).reshape(-1)
+    np.testing.assert_array_equal(flat[g.pk_inc_perm[:len(g.inc_node)]],
+                                  g.inc_node)
+
+
+def test_hyper_ops_xla_path_grads():
+    """On CPU the dispatch takes the XLA path; check op gradients equal
+    direct autodiff through plain indexing."""
+    data = make_synthetic_data(user_count=6, query_count=5, item_count=9,
+                               vocab_size=12, log_count=40, seed=3)
+    g = data.hypergraph
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((g.node_count, D)).astype(np.float32))
+    ef = jnp.asarray(rng.standard_normal((g.edge_count, D)).astype(np.float32))
+    gather, scatter = make_hyper_ops(g)
+
+    def f_op(x):
+        return (gather(x) ** 2).sum()
+
+    def f_ref(x):
+        return ((x[g.i3]) ** 2).sum()
+
+    np.testing.assert_allclose(np.asarray(jax.grad(f_op)(x)),
+                               np.asarray(jax.grad(f_ref)(x)), rtol=1e-5)
+
+    def s_op(ef):
+        return (scatter(ef) ** 3).sum()
+
+    def s_ref(ef):
+        h = jax.ops.segment_sum(ef[g.inc_edge], jnp.asarray(g.inc_node),
+                                g.node_count)
+        return (h ** 3).sum()
+
+    np.testing.assert_allclose(np.asarray(jax.grad(s_op)(ef)),
+                               np.asarray(jax.grad(s_ref)(ef)),
+                               rtol=1e-4, atol=1e-4)
