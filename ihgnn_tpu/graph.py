@@ -52,6 +52,11 @@ class HyperGraph:
     pk_inc_edge: object = None   # [K_pad] int32 — edge id e
     pk_ids2d: object = None      # [K_pad/128, 128] int32 — sorted node ids
     pk_tile_ptr: object = None   # [T+1] int32 — node-tile entry offsets
+    # Edges are numbered in user-sorted order, so the node-major incidence
+    # is [u-region | q-region | i-region] with the u-region expansion being
+    # the identity; these bijections give the q/i region edge orders.
+    pk_perm_q: object = None     # [E] int32 — q-rank j -> edge id
+    pk_perm_i: object = None     # [E] int32 — i-rank j -> edge id
     node_count: int = struct.field(pytree_node=False, default=0)
     edge_count: int = struct.field(pytree_node=False, default=0)
 
@@ -103,6 +108,11 @@ def build_hypergraph(uqi: np.ndarray, node_count: int, user_count: int,
     u, q, i = _global_ids(uqi[:, 0], uqi[:, 1], uqi[:, 2], user_count, query_count)
     e_count = len(u)
 
+    # number edges in user-sorted order: the u-region of the node-major
+    # incidence then expands edge features with the identity (no gather)
+    edge_order = np.argsort(u, kind="stable")
+    u, q, i = u[edge_order], q[edge_order], i[edge_order]
+
     i3 = np.stack([u, q, i], axis=1).astype(np.int32)
 
     dv = np.zeros(node_count, np.float32)
@@ -126,6 +136,16 @@ def build_hypergraph(uqi: np.ndarray, node_count: int, user_count: int,
     inc_edge_pad = np.concatenate([flat_edges[order],
                                    np.zeros(pad, np.int64)]).astype(np.int32)
 
+    # region bijections (edges already u-sorted: region u is the identity)
+    perm_q = np.argsort(q, kind="stable").astype(np.int32)
+    perm_i = np.argsort(i, kind="stable").astype(np.int32)
+    if e_count:
+        assert np.array_equal(inc_edge_pad[:e_count],
+                              np.arange(e_count, dtype=np.int32)), \
+            "u-region must be the identity expansion"
+        assert np.array_equal(inc_edge_pad[e_count:2 * e_count], perm_q)
+        assert np.array_equal(inc_edge_pad[2 * e_count:3 * e_count], perm_i)
+
     return HyperGraph(
         i3=i3,
         dv=dv.reshape(-1, 1),
@@ -135,6 +155,8 @@ def build_hypergraph(uqi: np.ndarray, node_count: int, user_count: int,
         pk_inc_edge=inc_edge_pad,
         pk_ids2d=ids_pad.reshape(-1, 128),
         pk_tile_ptr=tile_ptr,
+        pk_perm_q=perm_q,
+        pk_perm_i=perm_i,
         node_count=int(node_count),
         edge_count=int(e_count),
     )

@@ -50,14 +50,22 @@ def make_hyper_ops(graph: HyperGraph):
         return gather_i3, scatter_incidence
 
     i3 = jnp.asarray(graph.i3)
-    inc_perm = jnp.asarray(graph.pk_inc_perm)    # [K_pad] node-major → 3e+r
-    inc_edge = jnp.asarray(graph.pk_inc_edge)    # [K_pad] node-major → e
     ids2d = jnp.asarray(graph.pk_ids2d)
     tile_ptr = jnp.asarray(graph.pk_tile_ptr)
+    perm_q = jnp.asarray(graph.pk_perm_q)
+    perm_i = jnp.asarray(graph.pk_perm_i)
+    e = graph.edge_count
+    k_pad = graph.pk_ids2d.size
+    pad = k_pad - 3 * e
 
-    def _segsum(flat_rows: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-        # expansion in feature-major layout feeds the kernel directly
-        expanded_t = flat_rows.T[:, idx]
+    def _segsum_regions(u_part, q_part, i_part):
+        """Region parts are [d, E] feature-major; the node-major expansion
+        is their concatenation (u-region = identity because edges are
+        numbered in user-sorted order — no gather on 1/3 of the entries)."""
+        parts = [u_part, q_part[:, perm_q], i_part[:, perm_i]]
+        if pad:
+            parts.append(jnp.zeros((u_part.shape[0], pad), u_part.dtype))
+        expanded_t = jnp.concatenate(parts, axis=1)
         return csr_segment_sum_t(expanded_t, ids2d, tile_ptr, n)
 
     @jax.custom_vjp
@@ -68,14 +76,16 @@ def make_hyper_ops(graph: HyperGraph):
         return x[i3], None
 
     def gather_bwd(_, cot):
-        flat = cot.reshape(-1, cot.shape[-1])    # [3E, d], row 3e+r
-        return (_segsum(flat, inc_perm),)
+        # entry j of region r holds cot[region_perm[j], r]
+        return (_segsum_regions(cot[:, 0, :].T, cot[:, 1, :].T,
+                                cot[:, 2, :].T),)
 
     gather_i3.defvjp(gather_fwd, gather_bwd)
 
     @jax.custom_vjp
     def scatter_incidence(edge_feats):
-        return _segsum(edge_feats, inc_edge)
+        eft = edge_feats.T
+        return _segsum_regions(eft, eft, eft)
 
     def scatter_fwd(edge_feats):
         return scatter_incidence(edge_feats), None

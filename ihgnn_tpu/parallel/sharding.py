@@ -84,7 +84,8 @@ def graph_sharding(graph, mesh: Mesh):
     if isinstance(graph, HyperGraph):
         mask = None if graph.edge_mask is None else edge2d
         pk = {f: (None if getattr(graph, f) is None else rep)
-              for f in ("pk_inc_perm", "pk_inc_edge", "pk_ids2d", "pk_tile_ptr")}
+              for f in ("pk_inc_perm", "pk_inc_edge", "pk_ids2d",
+                        "pk_tile_ptr", "pk_perm_q", "pk_perm_i")}
         return graph.replace(i3=edge2d, dv=rep, inc_node=edge, inc_edge=edge,
                              edge_mask=mask, **pk)
     if isinstance(graph, Graph2D):
