@@ -50,11 +50,21 @@ def result_dir_name(cfg: Config) -> str:
 def pick_graph(data: GraphData, cfg: Config):
     if cfg.model.gnn in (V.GCN, V.GAT):
         return data.graph2d
+    if cfg.model.use_log_hypergraph:
+        if cfg.model.gnn != V.HGCN:
+            raise ValueError("--log_hypergraph requires --gnn hgcn "
+                             "(ragged edges have no fixed-order interaction)")
+        return data.log_hypergraph
     return data.hypergraph
 
 
 def run(cfg: Config) -> MetricsCollection:
     t = cfg.train
+
+    if cfg.runtime.multihost:
+        # multi-host runtime: every process joins the global mesh; the
+        # coordinator address comes from the TPU env (or JAX_COORDINATOR_*)
+        jax.distributed.initialize()
 
     result_dir = result_dir_name(cfg)
     os.makedirs(result_dir, exist_ok=True)
@@ -144,14 +154,22 @@ def run(cfg: Config) -> MetricsCollection:
 
     for epoch in pc:
         t0 = time.time()
+        # profile the second epoch (first is compile-dominated)
+        profiling = (cfg.runtime.profile_dir is not None
+                     and epoch == epoch_start + 1)
+        if profiling:
+            jax.profiler.start_trace(cfg.runtime.profile_dir)
         losses = []
-        n_rows = 0
         for batch in sampler.epoch():
             if mesh is not None:
                 batch = shard_batch(batch, mesh)
             state, loss = train_step(state, batch)
             losses.append(loss)
         avg_loss = float(np.mean([float(l) for l in losses]))
+        if profiling:
+            jax.block_until_ready(loss)
+            jax.profiler.stop_trace()
+            log_print(f"profiler trace written to {cfg.runtime.profile_dir}")
         dt = time.time() - t0
         pc.AddTrainTime(dt)
         log_print(f"[Epoch {epoch}/{pc.EndEpoch - 1}] avg loss {avg_loss:.4f} "

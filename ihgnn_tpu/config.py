@@ -67,6 +67,10 @@ class ModelConfig:
     srrl_kg_loss: bool = True
     srrl_uni_weight: bool = False
     srrl_regularization: float = 0.0
+    # one hyperedge per whole search log = {u, q, positive items} instead of
+    # one per interaction (Helpers/Graph.py:138-189); HGCN only (ragged
+    # edges have no fixed-order feature interaction)
+    use_log_hypergraph: bool = False
 
     @property
     def output_feature_size(self) -> int:
@@ -131,6 +135,7 @@ class RuntimeConfig:
     use_pallas: bool = True          # fused Pallas hyperedge aggregation
     user_history_limit: int = 500    # GlobalSettings.py:93-96
     profile_dir: Optional[str] = None
+    multihost: bool = False          # jax.distributed.initialize() at start
 
 
 @dataclasses.dataclass(frozen=True)
@@ -208,8 +213,12 @@ def parse_args(argv=None) -> Config:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--result_dir", type=str, default="Results")
     # TPU-native knobs
+    p.add_argument("--log_hypergraph", action="store_true", default=False,
+                   help="one hyperedge per search log (HGCN only)")
     p.add_argument("--mesh_data", type=int, default=1)
     p.add_argument("--mesh_model", type=int, default=1)
+    p.add_argument("--multihost", action="store_true", default=False,
+                   help="call jax.distributed.initialize() at startup")
     p.add_argument("--no_pallas", action="store_true", default=False)
     p.add_argument("--no_valid", action="store_true", default=False)
     p.add_argument("--eval_batch_size", type=int, default=256)
@@ -226,6 +235,7 @@ def parse_args(argv=None) -> Config:
         feature_interaction_order=a.feature_order or base.model.feature_interaction_order,
         phase2_attention=a.phase2_attention,
         graph_completeness=a.completeness,
+        use_log_hypergraph=a.log_hypergraph,
     )
     train = dataclasses.replace(
         base.train,
@@ -248,6 +258,7 @@ def parse_args(argv=None) -> Config:
         base.runtime,
         use_pallas=not a.no_pallas,
         profile_dir=a.profile_dir or None,
+        multihost=a.multihost,
     )
     io = IOConfig(
         data_dir=a.dataset,

@@ -74,8 +74,13 @@ class Graph2D:
     val: np.ndarray        # [nnz] f32 — summed duplicate multiplicities
     dv: np.ndarray         # [N, 1] f32
     dst_order: np.ndarray  # [nnz] int32 — permutation sorting entries by col
-    node_count: int = struct.field(pytree_node=False)
-    nnz: int = struct.field(pytree_node=False)
+    # Pallas SpMM packing (row-major CSR tiles); None when not packed.
+    pk_col: object = None       # [nnz_pad] int32 — col per entry, 0-padded
+    pk_val: object = None       # [nnz_pad] f32 — value per entry, 0-padded
+    pk_ids2d: object = None     # [nnz_pad/128, 128] int32 — sorted row ids
+    pk_tile_ptr: object = None  # [T+1] int32
+    node_count: int = struct.field(pytree_node=False, default=0)
+    nnz: int = struct.field(pytree_node=False, default=0)
 
 
 @struct.dataclass
@@ -219,12 +224,24 @@ def build_graph2d(uqif: np.ndarray, node_count: int, user_count: int,
 
     dst_order = np.argsort(ccol, kind="stable").astype(np.int32)
 
+    # Pallas SpMM packing over the row-sorted entries
+    from ihgnn_tpu.ops.pallas.segsum import BLOCK, pack_csr_tiles
+    nnz = len(uniq)
+    nnz_pad = -(-max(nnz, 1) // BLOCK) * BLOCK
+    pad = nnz_pad - nnz
+    ids_pad = np.concatenate([crow, np.full(pad, 2**31 - 1, np.int32)])
+    tile_ptr, _ = pack_csr_tiles(crow, node_count)
+
     return Graph2D(
         row=crow, col=ccol, val=val_sum,
         dv=dv.reshape(-1, 1).astype(np.float32),
         dst_order=dst_order,
+        pk_col=np.concatenate([ccol, np.zeros(pad, np.int32)]),
+        pk_val=np.concatenate([val_sum, np.zeros(pad, np.float32)]),
+        pk_ids2d=ids_pad.reshape(-1, 128),
+        pk_tile_ptr=tile_ptr,
         node_count=int(node_count),
-        nnz=int(len(uniq)),
+        nnz=int(nnz),
     )
 
 

@@ -31,7 +31,7 @@ from ihgnn_tpu.models.initializers import (LEAKY_RELU_GAIN, torch_linear_bias,
                                            xavier_uniform)
 from ihgnn_tpu.models.interaction import FeatureInteractor
 from ihgnn_tpu.ops import segment_softmax, segment_sum, spmm
-from ihgnn_tpu.ops.hyperagg import make_hyper_ops
+from ihgnn_tpu.ops.hyperagg import make_hyper_ops, make_spmm_op
 
 
 class GCNLayer(nn.Module):
@@ -42,11 +42,10 @@ class GCNLayer(nn.Module):
     def __call__(self, x: jnp.ndarray, graph: Graph2D) -> jnp.ndarray:
         transform = TorchDense(self.out_dim, self.in_dim, name="feature_transform")
         d_inv_sqrt = graph.dv ** -0.5                     # [N, 1]
+        adj = make_spmm_op(graph)
 
         def conv(h):
-            h = d_inv_sqrt * h
-            h = spmm(graph.row, graph.col, graph.val, h, graph.node_count)
-            return d_inv_sqrt * h
+            return d_inv_sqrt * adj(d_inv_sqrt * h)
 
         # cheaper side first (GnnLayers.py:33-43)
         if self.in_dim >= self.out_dim:

@@ -24,15 +24,51 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ihgnn_tpu.graph import HyperGraph
+from ihgnn_tpu.graph import Graph2D, HyperGraph
 from ihgnn_tpu.ops import segment as xla_ops
 from ihgnn_tpu.ops.pallas.segsum import csr_segment_sum_t
 
 
-def use_pallas(graph: HyperGraph) -> bool:
+def use_pallas(graph) -> bool:
     return (getattr(graph, "pk_tile_ptr", None) is not None
-            and graph.edge_mask is None
+            and getattr(graph, "edge_mask", None) is None
             and jax.default_backend() == "tpu")
+
+
+def make_spmm_op(graph: Graph2D):
+    """Symmetric-adjacency SpMM: x ↦ A @ x over the coalesced 2D graph.
+
+    All 2D graph constructions are symmetric in both structure and values
+    (Helpers/Graph.py:40-63 adds every edge in both directions with equal
+    weights), so the VJP is the same SpMM applied to the cotangent."""
+    n = graph.node_count
+
+    if not use_pallas(graph):
+        def spmm(x):
+            return xla_ops.spmm(graph.row, graph.col, graph.val, x, n)
+        return spmm
+
+    col = jnp.asarray(graph.pk_col)
+    val = jnp.asarray(graph.pk_val)
+    ids2d = jnp.asarray(graph.pk_ids2d)
+    tile_ptr = jnp.asarray(graph.pk_tile_ptr)
+
+    def _apply(x):
+        expanded_t = x.T[:, col] * val[None, :]
+        return csr_segment_sum_t(expanded_t, ids2d, tile_ptr, n)
+
+    @jax.custom_vjp
+    def spmm(x):
+        return _apply(x)
+
+    def fwd(x):
+        return _apply(x), None
+
+    def bwd(_, cot):
+        return (_apply(cot),)
+
+    spmm.defvjp(fwd, bwd)
+    return spmm
 
 
 def make_hyper_ops(graph: HyperGraph):

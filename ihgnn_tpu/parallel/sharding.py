@@ -89,7 +89,10 @@ def graph_sharding(graph, mesh: Mesh):
         return graph.replace(i3=edge2d, dv=rep, inc_node=edge, inc_edge=edge,
                              edge_mask=mask, **pk)
     if isinstance(graph, Graph2D):
-        return graph.replace(row=edge, col=edge, val=edge, dv=rep, dst_order=edge)
+        pk = {f: (None if getattr(graph, f) is None else rep)
+              for f in ("pk_col", "pk_val", "pk_ids2d", "pk_tile_ptr")}
+        return graph.replace(row=edge, col=edge, val=edge, dv=rep,
+                             dst_order=edge, **pk)
     if isinstance(graph, LogHyperGraph):
         return graph.replace(inc_node=edge, inc_edge=edge, edge_nodes=edge,
                              edge_ids=edge, dv=rep, de=rep)
