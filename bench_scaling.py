@@ -1,0 +1,111 @@
+"""Scaling-efficiency harness: sharded train step at 1/2/4/8 devices.
+
+On real multi-chip hardware this measures examples/s over ICI; in this
+environment it runs on virtual CPU devices (JAX_PLATFORMS=cpu +
+xla_force_host_platform_device_count), which validates the sharded program
+end-to-end and the harness itself — absolute numbers are CPU-bound and the
+printed platform field says so.
+
+Usage: python bench_scaling.py [--devices 1,2,4,8] [--edges 100000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--devices", default="1,2,4,8")
+    p.add_argument("--edges", type=int, default=100_000)
+    p.add_argument("--batch", type=int, default=512)
+    p.add_argument("--emb", type=int, default=32)
+    p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--force_cpu", action="store_true", default=True)
+    a = p.parse_args()
+
+    counts = [int(x) for x in a.devices.split(",")]
+    if a.force_cpu:
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                                   + f" --xla_force_host_platform_device_count={max(counts)}")
+
+    import jax
+    if a.force_cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from bench import build_bench_graph
+    from ihgnn_tpu.config import Config, MeshConfig, ModelConfig, TrainConfig
+    from ihgnn_tpu.data.dataset import Batch
+    from ihgnn_tpu.models.rawgnn import RawGnn
+    from ihgnn_tpu.parallel.mesh import make_mesh
+    from ihgnn_tpu.parallel.sharding import (pad_hypergraph_for_mesh,
+                                             shard_batch, shard_graph,
+                                             shard_state)
+    from ihgnn_tpu.train.train import init_state, make_optimizer, make_train_step
+
+    U, Q, I, V = 20_000, 10_000, 40_000, 10_000
+    E, D, B, K = a.edges, a.emb, a.batch, 10
+    platform = jax.default_backend()
+
+    rng = np.random.default_rng(1)
+    qw = rng.integers(1, V + 1, size=(Q, 4)).astype(np.int32)
+    qc = np.full(Q, 4, np.int32)
+
+    results = {}
+    for n in counts:
+        model_axis = 2 if n % 2 == 0 and n >= 4 else 1
+        data_axis = n // model_axis
+        cfg = Config(model=ModelConfig(embedding_size=D, gnn_layer_count=2),
+                     train=TrainConfig(batch_size=B,
+                                       random_negative_sample_size=K),
+                     mesh=MeshConfig(data=data_axis, model=model_axis))
+        graph, uqif = build_bench_graph(U, Q, I, E)
+        graph = pad_hypergraph_for_mesh(graph, data_axis)
+        model = RawGnn(cfg=cfg.model, user_count=U, query_count=Q,
+                       item_count=I, vocab_size=V,
+                       table_row_multiple=model_axis)
+        tx = make_optimizer(cfg)
+        state = init_state(model, jax.random.key(0), graph, qw, qc, cfg, tx)
+
+        rows = -(-B * (1 + K) // data_axis) * data_axis
+        r = np.random.default_rng(0)
+        idx = r.integers(0, E, B)
+        batch = Batch(
+            users=np.resize(uqif[idx, 0].astype(np.int32), rows),
+            queries=np.resize(uqif[idx, 1].astype(np.int32), rows),
+            items=np.resize(uqif[idx, 2].astype(np.int32), rows),
+            flags=np.resize(np.ones(B, np.float32), rows),
+            weight=np.ones(rows, np.float32))
+
+        step = jax.jit(make_train_step(model, graph, qw, qc, tx))
+        if n > 1:
+            mesh = make_mesh(cfg.mesh)
+            state = shard_state(state, mesh)
+            graph_s = shard_graph(graph, mesh)
+            batch = shard_batch(batch, mesh)
+
+        state, loss = step(state, batch)
+        jax.block_until_ready(loss)
+        t0 = time.time()
+        for _ in range(a.steps):
+            state, loss = step(state, batch)
+        jax.block_until_ready(loss)
+        dt = (time.time() - t0) / a.steps
+        results[n] = B / dt
+        eff = results[n] / (results[counts[0]] * n / counts[0])
+        print(json.dumps({
+            "metric": "examples_per_s",
+            "devices": n,
+            "platform": platform,
+            "value": round(results[n], 1),
+            "unit": "examples/s",
+            "scaling_efficiency": round(eff, 3),
+        }))
+
+
+if __name__ == "__main__":
+    main()

@@ -118,8 +118,7 @@ def run(cfg: Config) -> MetricsCollection:
     state = init_state(model, rng, graph, data.query_words,
                        data.query_word_counts, cfg, tx)
 
-    n_params = sum(x.size for x in jax.tree.leaves(state.params))
-    log_print(f"model parameters: {n_params}")
+    log_params(state.params)
 
     # ---- checkpoint resume (Main.py:195-214) ----
     epoch_start = 1
@@ -217,6 +216,30 @@ def run(cfg: Config) -> MetricsCollection:
     report_best(cfg, all_metrics, result_dir, fn_metrics)
     end_logging()
     return all_metrics
+
+
+def log_params(params) -> None:
+    """Aligned parameter table with mean/std/absmean
+    (Helpers/TrainTestHelper.py:12-34)."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    rows = []
+    total = 0
+    for path, leaf in flat:
+        name = "/".join(str(getattr(k, "key", k)) for k in path)
+        arr = np.asarray(leaf)
+        total += arr.size
+        rows.append((name, str(arr.shape), float(arr.mean()),
+                     float(arr.std()), float(np.abs(arr).mean())))
+    if not rows:
+        return
+    w_name = max(len(r[0]) for r in rows)
+    w_size = max(len(r[1]) for r in rows)
+    log_print(f"Model Parameters ({len(rows)}):")
+    for name, size, mean, std, absmean in rows:
+        log_print(f"{name:<{w_name}} | size={size:<{w_size}} "
+                  f"| mean={mean:<8.3f} | std={std:<8.3f} "
+                  f"| absmean={absmean:<8.3f}")
+    log_print(f"total parameters: {total}")
 
 
 def write_long_tail(path: str, data: GraphData, test: EvalLogs,

@@ -71,6 +71,9 @@ class ModelConfig:
     # one per interaction (Helpers/Graph.py:138-189); HGCN only (ragged
     # edges have no fixed-order feature interaction)
     use_log_hypergraph: bool = False
+    # rematerialize GNN layers in the backward pass: trades recompute for
+    # peak memory (needed for the 100M-hyperedge stress configs)
+    remat: bool = False
 
     @property
     def output_feature_size(self) -> int:
@@ -215,6 +218,8 @@ def parse_args(argv=None) -> Config:
     # TPU-native knobs
     p.add_argument("--log_hypergraph", action="store_true", default=False,
                    help="one hyperedge per search log (HGCN only)")
+    p.add_argument("--remat", action="store_true", default=False,
+                   help="rematerialize GNN layers in backward (saves memory)")
     p.add_argument("--mesh_data", type=int, default=1)
     p.add_argument("--mesh_model", type=int, default=1)
     p.add_argument("--multihost", action="store_true", default=False,
@@ -236,6 +241,7 @@ def parse_args(argv=None) -> Config:
         phase2_attention=a.phase2_attention,
         graph_completeness=a.completeness,
         use_log_hypergraph=a.log_hypergraph,
+        remat=a.remat,
     )
     train = dataclasses.replace(
         base.train,

@@ -86,7 +86,12 @@ class RawGnn(nn.Module):
         x = self.embeddings.all_features(query_words, query_word_counts)
         outs = [x]
         for gnn in self.gnns:
-            x = gnn(x, graph)
+            if self.cfg.remat:
+                # recompute the layer in backward: peak memory drops from
+                # O(L * E * d) activations to O(E * d)
+                x = nn.checkpoint(lambda mdl, h: mdl(h, graph))(gnn, x)
+            else:
+                x = gnn(x, graph)
             outs.append(x)
         return jnp.concatenate(outs, axis=1)
 
