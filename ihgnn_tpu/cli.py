@@ -133,7 +133,8 @@ def run(cfg: Config) -> MetricsCollection:
                            row_multiple=row_multiple)
 
     train_step = jax.jit(make_train_step(model, graph, data.query_words,
-                                         data.query_word_counts, tx),
+                                         data.query_word_counts, tx,
+                                         grad_accum_steps=t.grad_accum_steps),
                          donate_argnums=(0,))
     features_fn, metrics_fn = make_eval_fns(model, graph, data.query_words,
                                             data.query_word_counts)
@@ -159,12 +160,16 @@ def run(cfg: Config) -> MetricsCollection:
         if profiling:
             jax.profiler.start_trace(cfg.runtime.profile_dir)
         losses = []
-        for batch in sampler.epoch():
+        for batch in batched_epoch(sampler, t.grad_accum_steps):
             if mesh is not None:
                 batch = shard_batch(batch, mesh)
             state, loss = train_step(state, batch)
             losses.append(loss)
-        avg_loss = float(np.mean([float(l) for l in losses]))
+        if t.grad_accum_steps > 1:
+            # accum steps return per-group loss sums
+            avg_loss = float(sum(float(l) for l in losses)) / sampler.steps_per_epoch
+        else:
+            avg_loss = float(np.mean([float(l) for l in losses]))
         if profiling:
             jax.block_until_ready(loss)
             jax.profiler.stop_trace()
@@ -216,6 +221,24 @@ def run(cfg: Config) -> MetricsCollection:
     report_best(cfg, all_metrics, result_dir, fn_metrics)
     end_logging()
     return all_metrics
+
+
+def batched_epoch(sampler: TrainSampler, grad_accum_steps: int):
+    """Yield batches, or [k, R]-stacked groups when accumulating; the final
+    partial group is padded with zero-weight batches."""
+    if grad_accum_steps == 1:
+        yield from sampler.epoch()
+        return
+    group = []
+    for batch in sampler.epoch():
+        group.append(batch)
+        if len(group) == grad_accum_steps:
+            yield jax.tree.map(lambda *xs: np.stack(xs), *group)
+            group = []
+    if group:
+        filler = jax.tree.map(np.zeros_like, group[0])
+        group += [filler] * (grad_accum_steps - len(group))
+        yield jax.tree.map(lambda *xs: np.stack(xs), *group)
 
 
 def log_params(params) -> None:

@@ -110,6 +110,9 @@ class TrainConfig:
     lr_decay_loss_threshold: float = 0.008
     lr_floor: float = 4e-4
     seed: int = 0
+    # gradient accumulation over k batches per optimizer step
+    # (the reference's Gs.batch_size_times, TrainTestHelper.py:137-143)
+    grad_accum_steps: int = 1
     # eval batching (new; reference scores one log at a time)
     eval_batch_size: int = 256
 
@@ -210,6 +213,7 @@ def parse_args(argv=None) -> Config:
     p.add_argument("--embedding_size", "--emb", type=int, default=0)
     p.add_argument("--batch_size", "--bs", type=int, default=0)
     p.add_argument("--learning_rate", "--lr", type=float, default=0.0)
+    p.add_argument("--grad_accum", type=int, default=1)
     p.add_argument("--neg_random", type=int, default=-1)
     p.add_argument("--neg_nonrandom", type=int, default=-1)
     p.add_argument("--epochs", type=int, default=0, help="alias of --epoch_count")
@@ -257,6 +261,7 @@ def parse_args(argv=None) -> Config:
                                          else base.train.non_random_negative_sample_size),
         use_valid_dataset=not a.no_valid,
         seed=a.seed,
+        grad_accum_steps=max(a.grad_accum, 1),
         eval_batch_size=a.eval_batch_size,
     )
     mesh = MeshConfig(data=a.mesh_data, model=a.mesh_model)

@@ -49,22 +49,46 @@ def bce_with_logits(logits: jnp.ndarray, labels: jnp.ndarray,
 
 
 def make_train_step(model, graph, query_words, query_word_counts,
-                    tx: optax.GradientTransformation) -> Callable:
+                    tx: optax.GradientTransformation,
+                    grad_accum_steps: int = 1) -> Callable:
     """Returns train_step(state, batch) -> (state, loss). Graph arrays are
-    closed over as constants (donated to the compiled executable once)."""
+    closed over as constants (donated to the compiled executable once).
+
+    ``grad_accum_steps`` > 1 replicates the reference's ``batch_size_times``
+    (TrainTestHelper.py:137-143): the step takes a stacked batch pytree of
+    [k, R] leaves, sums gradients over the k microbatches (torch
+    ``backward`` accumulation semantics) and applies one optimizer update;
+    the returned loss is the mean over microbatches."""
 
     def loss_fn(params, batch):
         logits = model.apply(params, graph, query_words, query_word_counts,
                              batch.users, batch.queries, batch.items)
         return bce_with_logits(logits, batch.flags, batch.weight)
 
-    def train_step(state: TrainState, batch) -> Tuple[TrainState, jnp.ndarray]:
-        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch)
+    def apply_update(state, grads, loss):
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         updates = jax.tree.map(lambda u: -state.lr * u, updates)
         params = optax.apply_updates(state.params, updates)
         return dataclasses.replace(state, params=params, opt_state=opt_state,
                                    step=state.step + 1), loss
+
+    if grad_accum_steps == 1:
+        def train_step(state: TrainState, batch) -> Tuple[TrainState, jnp.ndarray]:
+            loss, grads = jax.value_and_grad(loss_fn)(state.params, batch)
+            return apply_update(state, grads, loss)
+        return train_step
+
+    def train_step(state: TrainState, stacked) -> Tuple[TrainState, jnp.ndarray]:
+        def body(carry, microbatch):
+            gsum, lsum = carry
+            loss, grads = jax.value_and_grad(loss_fn)(state.params, microbatch)
+            return (jax.tree.map(jnp.add, gsum, grads), lsum + loss), None
+
+        zero = jax.tree.map(jnp.zeros_like, state.params)
+        (grads, loss_sum), _ = jax.lax.scan(body, (zero, jnp.zeros(())), stacked)
+        # return the SUM over microbatches; the caller divides by the real
+        # batch count (zero-weight filler batches contribute zero loss)
+        return apply_update(state, grads, loss_sum)
 
     return train_step
 
