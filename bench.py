@@ -94,17 +94,19 @@ def main():
                    donate_argnums=(0,))
     batches = [jax.device_put(make_batch(s)) for s in range(4)]
 
-    # warmup / compile
+    # warmup / compile; float() forces real completion — on remote-TPU
+    # transports block_until_ready can return before execution finishes
     t0 = time.time()
     state, loss = step(state, batches[0])
-    jax.block_until_ready(loss)
     print(f"# compile+first step {time.time()-t0:.1f}s loss={float(loss):.4f}")
+    state, loss = step(state, batches[1])
+    _ = float(loss)
 
     n_steps = 20
     t0 = time.time()
     for i in range(n_steps):
         state, loss = step(state, batches[i % 4])
-    jax.block_until_ready(loss)
+    _ = float(loss)  # chained state threads dependencies; fetch syncs all
     dt = time.time() - t0
     step_time = dt / n_steps
 

@@ -154,6 +154,14 @@ class GraphData:
             self._user_history = (q_out, i_out)
         return self._user_history
 
+    def user_history_tensors(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Padded per-user history arrays (queries, items), -1 padded to the
+        longest history (Dataset.py:246-258)."""
+        qhis, ihis = self.user_history()
+        q_arr, _ = pad_ragged(qhis, pad_value=-1)
+        i_arr, _ = pad_ragged(ihis, pad_value=-1)
+        return q_arr, i_arr
+
     # ---- construction from Step-3 artifacts ----
 
     @classmethod

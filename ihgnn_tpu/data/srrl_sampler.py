@@ -58,11 +58,13 @@ class MetaPaths:
 
 class SrrlKGSampler:
     def __init__(self, meta_paths: MetaPaths, batch_size: int,
-                 negative_sample_size: int, seed: int = 0):
+                 negative_sample_size: int, seed: int = 0,
+                 only_random_negatives: bool = True):
         self.mp = meta_paths
         self.batch_size = batch_size
         self.neg_size = negative_sample_size
         self.rng = np.random.default_rng(seed)
+        self.only_random = only_random_negatives
         self.step_count = 0
         self._triples = np.asarray(self.mp.positive_interactions, np.int64)
         self._weights = np.asarray(
@@ -83,8 +85,23 @@ class SrrlKGSampler:
         idx = self.rng.integers(0, len(self._triples), self.batch_size)
         triples = self._triples[idx].astype(np.int32)
         weights = self._weights[idx]
-        negs = self.rng.integers(0, self.mp.data.item_count,
-                                 (self.batch_size, self.neg_size)).astype(np.int32)
+        if self.only_random:
+            negs = self.rng.integers(0, self.mp.data.item_count,
+                                     (self.batch_size, self.neg_size)).astype(np.int32)
+        else:
+            # log-provided negative tails with sampling/re-sampling to size
+            # (SrrlDataset.py:146-157)
+            negs = np.zeros((self.batch_size, self.neg_size), np.int32)
+            for r, (u, q, i) in enumerate(triples):
+                pool = self.mp.negative_tails.get((int(u), int(q)), [])
+                if not pool:
+                    negs[r] = self.rng.integers(0, self.mp.data.item_count,
+                                                self.neg_size)
+                elif len(pool) > self.neg_size:
+                    negs[r] = self.rng.choice(pool, self.neg_size, replace=False)
+                else:
+                    negs[r] = list(pool) + list(self.rng.choice(
+                        pool, self.neg_size - len(pool), replace=True))
 
         company = np.zeros(self.batch_size, np.int32)
         for r, (u, q, i) in enumerate(triples):

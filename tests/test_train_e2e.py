@@ -89,3 +89,51 @@ def test_nonrandom_negative_sampling(setup):
     batch = next(sampler.epoch())
     assert batch.items.shape == (16 * 5,)
     assert np.isfinite(batch.flags).all()
+
+
+def test_grad_accum_matches_summed_grads(setup):
+    """k-microbatch accumulation must equal summed per-batch gradients
+    applied in one update (torch backward-accumulation semantics)."""
+    import jax.numpy as jnp
+    from ihgnn_tpu.train.train import TrainState
+
+    cfg, train, valid, test, model = setup
+    graph = train.hypergraph
+    tx = make_optimizer(cfg)
+    state = init_state(model, jax.random.key(1), graph, train.query_words,
+                       train.query_word_counts, cfg, tx)
+    sampler = TrainSampler(train, cfg.train.batch_size,
+                           cfg.train.random_negative_sample_size, seed=5)
+    batches = []
+    it = sampler.epoch()
+    for _ in range(2):
+        batches.append(next(it))
+
+    step1 = jax.jit(make_train_step(model, graph, train.query_words,
+                                    train.query_word_counts, tx))
+    stepk = jax.jit(make_train_step(model, graph, train.query_words,
+                                    train.query_word_counts, tx,
+                                    grad_accum_steps=2))
+
+    # manual: sum grads of the two batches, single update
+    from ihgnn_tpu.train.train import bce_with_logits
+    import optax
+
+    def loss_fn(p, b):
+        logits = model.apply(p, graph, train.query_words,
+                             train.query_word_counts, b.users, b.queries,
+                             b.items)
+        return bce_with_logits(logits, b.flags, b.weight)
+
+    g1 = jax.grad(loss_fn)(state.params, batches[0])
+    g2 = jax.grad(loss_fn)(state.params, batches[1])
+    gsum = jax.tree.map(jnp.add, g1, g2)
+    updates, _ = tx.update(gsum, state.opt_state, state.params)
+    expect = optax.apply_updates(
+        state.params, jax.tree.map(lambda u: -state.lr * u, updates))
+
+    stacked = jax.tree.map(lambda *xs: np.stack(xs), *batches)
+    out_state, loss_sum = stepk(state, stacked)
+    for a, b in zip(jax.tree.leaves(expect), jax.tree.leaves(out_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
