@@ -43,6 +43,8 @@ def build_bench_graph(user_count, query_count, item_count, edge_count, seed=0):
 
 
 def main():
+    import argparse
+
     import jax
     import jax.numpy as jnp
 
@@ -51,12 +53,24 @@ def main():
     from ihgnn_tpu.models.rawgnn import RawGnn
     from ihgnn_tpu.train.train import init_state, make_optimizer, make_train_step
 
-    U, Q, I, V = 200_000, 100_000, 400_000, 100_000
-    E, D, L = 2_000_000, 32, 2
-    B, K = 1024, 10
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--edges", type=int, default=2_000_000)
+    ap.add_argument("--users", type=int, default=200_000)
+    ap.add_argument("--queries", type=int, default=100_000)
+    ap.add_argument("--items", type=int, default=400_000)
+    ap.add_argument("--vocab", type=int, default=100_000)
+    ap.add_argument("--emb", type=int, default=32)
+    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--remat", action="store_true", default=False)
+    args = ap.parse_args()
+
+    U, Q, I, V = args.users, args.queries, args.items, args.vocab
+    E, D, L = args.edges, args.emb, 2
+    B, K = args.batch, 10
 
     cfg = Config(model=ModelConfig(embedding_size=D, gnn_layer_count=L,
-                                   feature_interaction_order=3),
+                                   feature_interaction_order=3,
+                                   remat=args.remat),
                  train=TrainConfig(batch_size=B, random_negative_sample_size=K))
 
     graph, uqif = build_bench_graph(U, Q, I, E)

@@ -123,3 +123,16 @@ def test_srrl_embedding_rows_unit_norm(setup):
     norms = np.linalg.norm(kg_user[1:], axis=1)
     np.testing.assert_allclose(norms, 1.0, rtol=1e-5)
     assert np.allclose(kg_user[0], 0.0)
+
+
+def test_kg_sampler_nonrandom_negatives(setup):
+    _, train, *_ = setup
+    mp = MetaPaths(train)
+    sampler = SrrlKGSampler(mp, batch_size=8, negative_sample_size=3, seed=0,
+                            only_random_negatives=False)
+    _, triples, negs, _, _ = sampler.next()
+    # negatives come from the (u,q) log-provided pools where available
+    for r, (u, q, i) in enumerate(triples):
+        pool = mp.negative_tails.get((int(u), int(q)))
+        if pool:
+            assert set(negs[r]) <= set(pool)
