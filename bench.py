@@ -104,8 +104,7 @@ def main():
         return Batch(users=users, queries=queries, items=items, flags=flags,
                      weight=np.ones(rows, np.float32))
 
-    step = jax.jit(make_train_step(model, graph, qw, qc, tx),
-                   donate_argnums=(0,))
+    step = make_train_step(model, graph, qw, qc, tx)
     batches = [jax.device_put(make_batch(s)) for s in range(4)]
 
     # warmup / compile; float() forces real completion — on remote-TPU

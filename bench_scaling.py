@@ -81,7 +81,7 @@ def main():
             flags=np.resize(np.ones(B, np.float32), rows),
             weight=np.ones(rows, np.float32))
 
-        step = jax.jit(make_train_step(model, graph, qw, qc, tx))
+        step = make_train_step(model, graph, qw, qc, tx)
         if n > 1:
             mesh = make_mesh(cfg.mesh)
             state = shard_state(state, mesh)

@@ -132,16 +132,16 @@ def run(cfg: Config) -> MetricsCollection:
                            t.non_random_negative_sample_size, seed=t.seed,
                            row_multiple=row_multiple)
 
-    train_step = jax.jit(make_train_step(model, graph, data.query_words,
-                                         data.query_word_counts, tx,
-                                         grad_accum_steps=t.grad_accum_steps),
-                         donate_argnums=(0,))
-    features_fn, metrics_fn = make_eval_fns(model, graph, data.query_words,
-                                            data.query_word_counts)
-
     if mesh is not None:
         state = shard_state(state, mesh)
         graph = shard_graph(graph, mesh)
+
+    # bind AFTER sharding so the step sees the sharded graph buffers
+    train_step = make_train_step(model, graph, data.query_words,
+                                 data.query_word_counts, tx,
+                                 grad_accum_steps=t.grad_accum_steps)
+    features_fn, metrics_fn = make_eval_fns(model, graph, data.query_words,
+                                            data.query_word_counts)
 
     # ---- epoch loop (Main.py:238-290) ----
     pc = ProcessController(

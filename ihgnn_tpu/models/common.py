@@ -36,6 +36,40 @@ class TorchDense(nn.Module):
         )(x)
 
 
+class _DenseParamsT(nn.Module):
+    """Raw kernel/bias params (same names/shapes as nn.Dense) applied to
+    feature-major input: y_t [out, *] = kernelᵀ · x_t [in, *] + bias."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self, x_t: jnp.ndarray) -> jnp.ndarray:
+        import jax
+
+        kernel = self.param("kernel", torch_linear_kernel(),
+                            (self.in_features, self.features))
+        bias = self.param("bias", torch_linear_bias(self.in_features),
+                          (self.features,))
+        y = jax.lax.dot_general(kernel, x_t, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        return y + bias[:, None]
+
+
+class TorchDenseT(nn.Module):
+    """Feature-major TorchDense: [in, N] → [out, N]. The param tree is
+    identical to TorchDense ("dense"/kernel+bias), so layouts are a compile
+    choice, not a checkpoint format."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self, x_t: jnp.ndarray) -> jnp.ndarray:
+        return _DenseParamsT(self.features, self.in_features,
+                             name="dense")(x_t)
+
+
 class MLP(nn.Module):
     """Linear(in,in) → LeakyReLU → Linear(in,out) (CommonLayers.py:7-16)."""
 

@@ -115,3 +115,14 @@ class EmbeddingTables(nn.Module):
             self.embed_query(query_words, query_word_counts, None),
             self.embed_item(None),
         ], axis=0)
+
+    def all_features_t(self, query_words: jnp.ndarray,
+                       query_word_counts: jnp.ndarray) -> jnp.ndarray:
+        """Feature-major X0ᵀ: [d, N]. The per-part transposes fuse into the
+        concat write; the result has the node axis on the 128-lane minor
+        dimension (no 4x lane padding for d=32)."""
+        return jnp.concatenate([
+            self.embed_user(None).T,
+            self.embed_query(query_words, query_word_counts, None).T,
+            self.embed_item(None).T,
+        ], axis=1)

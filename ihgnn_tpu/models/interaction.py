@@ -8,10 +8,10 @@ node embeddings and projects with a single Linear
   order 2: [u, q, i, u⊙q, q⊙i, i⊙u]           → Linear(6d, out)
   order 3: order 2 + [u⊙q⊙i]                  → Linear(7d, out)
 
-On TPU this is one [E, 3, d] gather (MXU-adjacent bandwidth), a few VPU
-Hadamard products, and one [E, kd]×[kd, out] matmul — XLA fuses the
-concatenation into the GEMM. The Pallas backend fuses gather+cross+project
-into a single kernel for the hot path.
+Feature-major: the gathered endpoints arrive as [d, 3E] (role-major
+columns); the cross features concatenate along the feature (sublane) axis
+into [kd, E] and the projection is one MXU matmul [out, kd] × [kd, E] —
+no lane padding anywhere (E is the 128-lane axis).
 """
 
 from __future__ import annotations
@@ -19,7 +19,7 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ihgnn_tpu.models.common import TorchDense
+from ihgnn_tpu.models.common import TorchDenseT
 
 
 class FeatureInteractor(nn.Module):
@@ -28,20 +28,19 @@ class FeatureInteractor(nn.Module):
     output_dim: int
 
     @nn.compact
-    def __call__(self, uqi: jnp.ndarray) -> jnp.ndarray:
-        """uqi: [E, 3, d] gathered endpoint rows → [E, out]. (The gather is
-        done by the caller through ops.hyperagg so its VJP uses the Pallas
-        segment-sum kernel.)"""
+    def __call__(self, roles_t: jnp.ndarray) -> jnp.ndarray:
+        """roles_t: [d, 3E] gathered endpoint columns (u | q | i role-major)
+        → [out, E] edge features."""
         d = self.feature_dim
+        e = roles_t.shape[1] // 3
+        u, q, i = roles_t[:, :e], roles_t[:, e:2 * e], roles_t[:, 2 * e:]
         if self.max_order == 1:
-            feats = uqi.reshape(-1, 3 * d)
-            width = 3 * d
+            parts = [u, q, i]
         else:
-            u, q, i = uqi[:, 0], uqi[:, 1], uqi[:, 2]
             uq, qi, iu = u * q, q * i, i * u
             parts = [u, q, i, uq, qi, iu]
             if self.max_order == 3:
                 parts.append(uq * i)
-            feats = jnp.concatenate(parts, axis=1)
-            width = len(parts) * d
-        return TorchDense(self.output_dim, width, name="aggregation")(feats)
+        feats_t = jnp.concatenate(parts, axis=0)           # [kd, E]
+        return TorchDenseT(self.output_dim, len(parts) * d,
+                           name="aggregation")(feats_t)

@@ -1,16 +1,18 @@
-"""GNN layers: GCN, GAT, HGCN, IHGNN — as pure functions of (features, graph).
+"""GNN layers: GCN, GAT, HGCN, IHGNN — pure functions of (features, graph).
 
-Re-designs Models/GnnLayers.py. Every aggregation is expressed through the
-segment-op contract in ops/segment.py (sorted segment sums / softmaxes), so
-the same code runs single-chip, on a CPU test mesh, and under shard_map with
-hyperedges sharded over the 'data' mesh axis.
+Re-designs Models/GnnLayers.py. Layer interfaces are **feature-major**
+(x_t: [d, N]): on TPU a [N, 32] array is lane-padded 4x, so the node/edge
+axis must be the 128-lane minor axis. Every aggregation routes through the
+segment-op contract in ops/hyperagg.py (Pallas CSR kernels on TPU, XLA
+segment ops elsewhere).
 
-Shape/math parity notes (vs the reference):
+Math parity (vs the reference):
 * GCNLayer   — Dv^-1/2 · A · Dv^-1/2 · X · W, transform applied first when
   in_dim >= out_dim (GnnLayers.py:28-45).
-* GATLayer   — per-edge score from Linear over [x_src ; x_dst] (concat head)
-  or x_src ⊙ x_dst (product head), LeakyReLU, softmax per destination,
-  weighted sum of source features at the destination (GnnLayers.py:96-115).
+* GATLayer   — per-edge score from Linear over [x_src ; x_dst] (concat
+  head) or x_src ⊙ x_dst (product), LeakyReLU, softmax per destination,
+  weighted source sum at the destination (GnnLayers.py:96-115). Runs
+  row-major internally (segment softmax over ragged degrees).
 * HGCNLayer  — Dv^-1/2 · H · De^-1 · Hᵀ · Dv^-1/2 · X · W (GnnLayers.py:142-153).
 * IHGNNLayer — X' = XW; E = FeatureInteractor(X'); out = Dv^-1 · H · E, or
   a phase-2 GAT over the bipartite (edge-nodes ∪ nodes) graph
@@ -26,12 +28,16 @@ import jax.numpy as jnp
 
 from ihgnn_tpu.config import V
 from ihgnn_tpu.graph import Graph2D, HyperGraph, LogHyperGraph
-from ihgnn_tpu.models.common import TorchDense, leaky_relu
+from ihgnn_tpu.models.common import TorchDense, TorchDenseT, leaky_relu
 from ihgnn_tpu.models.initializers import (LEAKY_RELU_GAIN, torch_linear_bias,
                                            xavier_uniform)
 from ihgnn_tpu.models.interaction import FeatureInteractor
-from ihgnn_tpu.ops import segment_softmax, segment_sum, spmm
+from ihgnn_tpu.ops import segment_softmax, segment_sum
 from ihgnn_tpu.ops.hyperagg import make_hyper_ops, make_spmm_op
+
+
+def _dv_inv_sqrt_t(graph) -> jnp.ndarray:
+    return (graph.dv ** -0.5).reshape(1, -1)
 
 
 class GCNLayer(nn.Module):
@@ -39,23 +45,25 @@ class GCNLayer(nn.Module):
     out_dim: int
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, graph: Graph2D) -> jnp.ndarray:
-        transform = TorchDense(self.out_dim, self.in_dim, name="feature_transform")
-        d_inv_sqrt = graph.dv ** -0.5                     # [N, 1]
+    def __call__(self, x_t: jnp.ndarray, graph: Graph2D) -> jnp.ndarray:
+        transform = TorchDenseT(self.out_dim, self.in_dim,
+                                name="feature_transform")
+        d_inv_sqrt = _dv_inv_sqrt_t(graph)
         adj = make_spmm_op(graph)
 
-        def conv(h):
-            return d_inv_sqrt * adj(d_inv_sqrt * h)
+        def conv(h_t):
+            return d_inv_sqrt * adj(d_inv_sqrt * h_t)
 
         # cheaper side first (GnnLayers.py:33-43)
         if self.in_dim >= self.out_dim:
-            return conv(transform(x))
-        return transform(conv(x))
+            return conv(transform(x_t))
+        return transform(conv(x_t))
 
 
 class _GatCore(nn.Module):
     """Attention scoring + destination-softmax aggregation over an edge list
-    sorted by destination. Shared by GATLayer and IHGNN phase-2 attention."""
+    sorted by destination (row-major features — segment softmax over ragged
+    in-degrees). Shared by GATLayer and IHGNN phase-2 attention."""
 
     out_dim: int
     head: str = V.CONCAT
@@ -63,8 +71,6 @@ class _GatCore(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, src: jnp.ndarray, dst: jnp.ndarray,
                  node_count: int) -> jnp.ndarray:
-        """x: [N, out_dim] already-transformed features; (src, dst): edges
-        sorted by dst; returns [node_count, out_dim]."""
         score_in = 2 * self.out_dim if self.head == V.CONCAT else self.out_dim
         score_head = nn.Dense(
             1,
@@ -91,39 +97,19 @@ class GATLayer(nn.Module):
     head: str = V.CONCAT
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, graph: Graph2D) -> jnp.ndarray:
-        x = TorchDense(self.out_dim, self.in_dim, name="feature_transform")(x)
+    def __call__(self, x_t: jnp.ndarray, graph: Graph2D) -> jnp.ndarray:
+        x = TorchDense(self.out_dim, self.in_dim,
+                       name="feature_transform")(x_t.T)
         # re-order the coalesced COO entries by destination so the softmax
         # and the weighted sum are sorted segment ops
         src = graph.row[graph.dst_order]
         dst = graph.col[graph.dst_order]
-        return _GatCore(self.out_dim, self.head, name="gat")(x, src, dst,
-                                                             graph.node_count)
+        out = _GatCore(self.out_dim, self.head, name="gat")(x, src, dst,
+                                                            graph.node_count)
+        return out.T
 
 
 AnyHyperGraph = Union[HyperGraph, LogHyperGraph]
-
-
-def _edge_mean(x: jnp.ndarray, graph: AnyHyperGraph) -> jnp.ndarray:
-    """De^-1 · Hᵀ · x — mean of member-node features per hyperedge."""
-    if isinstance(graph, HyperGraph):
-        gather, _ = make_hyper_ops(graph)
-        edge = gather(x).sum(axis=1) / 3.0
-        if graph.edge_mask is not None:
-            edge = edge * graph.edge_mask
-        return edge
-    summed = segment_sum(x[graph.edge_nodes], graph.edge_ids,
-                         graph.edge_count, indices_are_sorted=True)
-    return summed / graph.de
-
-
-def _edge_scatter(edge_feats: jnp.ndarray, graph: AnyHyperGraph) -> jnp.ndarray:
-    """H · E — sum of member-edge features per node (sorted incidence)."""
-    if isinstance(graph, HyperGraph):
-        _, scatter = make_hyper_ops(graph)
-        return scatter(edge_feats)
-    return segment_sum(edge_feats[graph.inc_edge], graph.inc_node,
-                       graph.node_count, indices_are_sorted=True)
 
 
 class HGCNLayer(nn.Module):
@@ -131,12 +117,29 @@ class HGCNLayer(nn.Module):
     out_dim: int
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, graph: AnyHyperGraph) -> jnp.ndarray:
-        x = TorchDense(self.out_dim, self.in_dim, name="feature_transform")(x)
-        d_inv_sqrt = graph.dv ** -0.5
-        x = d_inv_sqrt * x
-        edge = _edge_mean(x, graph)
-        return d_inv_sqrt * _edge_scatter(edge, graph)
+    def __call__(self, x_t: jnp.ndarray, graph: AnyHyperGraph) -> jnp.ndarray:
+        x_t = TorchDenseT(self.out_dim, self.in_dim,
+                          name="feature_transform")(x_t)
+        d_inv_sqrt = _dv_inv_sqrt_t(graph)
+        x_t = d_inv_sqrt * x_t
+
+        if isinstance(graph, HyperGraph):
+            gather, scatter = make_hyper_ops(graph)
+            g = gather(x_t)                                 # [d, 3E]
+            e = g.shape[1] // 3
+            edge_t = (g[:, :e] + g[:, e:2 * e] + g[:, 2 * e:]) / 3.0
+            if graph.edge_mask is not None:
+                edge_t = edge_t * graph.edge_mask.reshape(1, -1)
+            return d_inv_sqrt * scatter(edge_t)
+
+        # ragged log-hypergraph: row-major segment ops
+        x = x_t.T
+        summed = segment_sum(x[graph.edge_nodes], graph.edge_ids,
+                             graph.edge_count, indices_are_sorted=True)
+        edge = summed / graph.de
+        out = segment_sum(edge[graph.inc_edge], graph.inc_node,
+                          graph.node_count, indices_are_sorted=True)
+        return (d_inv_sqrt.T * out).T
 
 
 class IHGNNLayer(nn.Module):
@@ -147,28 +150,30 @@ class IHGNNLayer(nn.Module):
     gat_head: str = V.CONCAT
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, graph: HyperGraph) -> jnp.ndarray:
-        x = TorchDense(self.out_dim, self.in_dim, name="feature_transform")(x)
-        gather, _ = make_hyper_ops(graph)
-        edge = FeatureInteractor(self.interaction_order, self.out_dim,
-                                 self.out_dim, name="interactor")(gather(x))
+    def __call__(self, x_t: jnp.ndarray, graph: HyperGraph) -> jnp.ndarray:
+        x_t = TorchDenseT(self.out_dim, self.in_dim,
+                          name="feature_transform")(x_t)
+        gather, scatter = make_hyper_ops(graph)
+        edge_t = FeatureInteractor(self.interaction_order, self.out_dim,
+                                   self.out_dim, name="interactor")(
+                                       gather(x_t))
         if graph.edge_mask is not None:
-            edge = edge * graph.edge_mask  # zero padded edges (even sharding)
+            edge_t = edge_t * graph.edge_mask.reshape(1, -1)
 
         if self.phase2_attention:
             # GAT over the bipartite graph whose edges run from hyperedge
-            # nodes (id = edge + N) to their member nodes; the incidence
-            # arrays are already sorted by member node = destination
-            # (GnnLayers.py:200-216,227-230).
+            # nodes (id = edge + N) to their member nodes; incidence arrays
+            # are already sorted by member node = destination
+            # (GnnLayers.py:200-216,227-230). Row-major internally.
             n, e = graph.node_count, graph.edge_count
-            both = jnp.concatenate([x, edge], axis=0)       # [N+E, d]
+            both = jnp.concatenate([x_t.T, edge_t.T], axis=0)   # [N+E, d]
             both = TorchDense(self.out_dim, self.out_dim,
                               name="phase2_transform")(both)
             src = graph.inc_edge + n
             dst = graph.inc_node
             out = _GatCore(self.out_dim, self.gat_head,
                            name="phase2_gat")(both, src, dst, n + e)
-            return out[:n]
+            return out[:n].T
 
         # node update: Dv^-1 · H · E (GnnLayers.py:232-234)
-        return _edge_scatter(edge, graph) / graph.dv
+        return scatter(edge_t) / graph.dv.reshape(1, -1)

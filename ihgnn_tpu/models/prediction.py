@@ -64,6 +64,22 @@ class HemPredictionLayer(nn.Module):
         scores = jnp.dot(m, items.T, preferred_element_type=jnp.float32)
         return scores + self.items_bias[None, :]
 
+    def score_all_t(self, user_feature_t: Optional[jnp.ndarray],
+                    query_feature_t: jnp.ndarray,
+                    all_item_features_t: jnp.ndarray) -> jnp.ndarray:
+        """Feature-major variant: [F, B] x [F, I] → [B, I] (no transposes
+        of the catalog)."""
+        m_t = self._m_uq(user_feature_t, query_feature_t)
+        items_t = all_item_features_t
+        if self.use_cosine_similarity:
+            m_t = m_t / jnp.maximum(
+                jnp.linalg.norm(m_t, axis=0, keepdims=True), 1e-8)
+            items_t = items_t / jnp.maximum(
+                jnp.linalg.norm(items_t, axis=0, keepdims=True), 1e-8)
+        scores = jax.lax.dot_general(m_t, items_t, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+        return scores + self.items_bias[None, :]
+
 
 def _cosine(a: jnp.ndarray, b: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
     # torch.cosine_similarity semantics (clamped norms)

@@ -82,34 +82,38 @@ class RawGnn(nn.Module):
 
     def all_features(self, graph: AnyGraph, query_words: jnp.ndarray,
                      query_word_counts: jnp.ndarray) -> jnp.ndarray:
-        """Full-graph forward: [N, embedding_size * (1 + L)]."""
-        x = self.embeddings.all_features(query_words, query_word_counts)
-        outs = [x]
+        """Full-graph forward, feature-major: [embedding_size * (1 + L), N].
+
+        Feature-major keeps the node axis on the 128-lane minor dimension;
+        [N, 32] layouts are lane-padded 4x on TPU."""
+        x_t = self.embeddings.all_features_t(query_words, query_word_counts)
+        outs = [x_t]
         for gnn in self.gnns:
             if self.cfg.remat:
                 # recompute the layer in backward: peak memory drops from
-                # O(L * E * d) activations to O(E * d)
-                x = nn.checkpoint(lambda mdl, h: mdl(h, graph))(gnn, x)
+                # O(L * E * d) activations to O(E * d). graph must be an
+                # explicit argument — its arrays are traced inputs
+                x_t = nn.checkpoint(lambda mdl, h, g: mdl(h, g))(gnn, x_t, graph)
             else:
-                x = gnn(x, graph)
-            outs.append(x)
-        return jnp.concatenate(outs, axis=1)
+                x_t = gnn(x_t, graph)
+            outs.append(x_t)
+        return jnp.concatenate(outs, axis=0)
 
-    def score(self, features: jnp.ndarray, users: jnp.ndarray,
+    def score(self, features_t: jnp.ndarray, users: jnp.ndarray,
               queries: jnp.ndarray, items: jnp.ndarray) -> jnp.ndarray:
         """Per-row scores for (user, query, item) triples ([R] each)."""
-        uf = features[users]
-        qf = features[queries + self.query_start]
-        itf = features[items + self.item_start]
+        uf = features_t[:, users].T
+        qf = features_t[:, queries + self.query_start].T
+        itf = features_t[:, items + self.item_start].T
         return self.prediction.score_rows(uf, qf, itf, items)
 
-    def score_all_items(self, features: jnp.ndarray, users: jnp.ndarray,
+    def score_all_items(self, features_t: jnp.ndarray, users: jnp.ndarray,
                         queries: jnp.ndarray) -> jnp.ndarray:
         """[B] (user, query) pairs → [B, item_count] full-catalog scores."""
-        uf = features[users]
-        qf = features[queries + self.query_start]
-        item_f = features[self.item_start:]
-        return self.prediction.score_all(uf, qf, item_f)
+        uf_t = features_t[:, users]
+        qf_t = features_t[:, queries + self.query_start]
+        items_t = features_t[:, self.item_start:]
+        return self.prediction.score_all_t(uf_t, qf_t, items_t)
 
     def __call__(self, graph: AnyGraph, query_words: jnp.ndarray,
                  query_word_counts: jnp.ndarray, users: jnp.ndarray,

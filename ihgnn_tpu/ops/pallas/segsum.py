@@ -59,8 +59,14 @@ def pack_csr_tiles(segment_ids: np.ndarray, num_segments: int,
     return tile_ptr, n_pad
 
 
+def _make_segsum_kernel(out_transposed: bool):
+    def kernel(*args):
+        _segsum_kernel(*args, out_transposed=out_transposed)
+    return kernel
+
+
 def _segsum_kernel(tile_ptr_ref, values_t_hbm, ids_hbm, out_ref, acc, vbuf,
-                   nbuf, sems):
+                   nbuf, sems, out_transposed=False):
     t = pl.program_id(0)
     start = tile_ptr_ref[t]
     end = tile_ptr_ref[t + 1]
@@ -109,12 +115,16 @@ def _segsum_kernel(tile_ptr_ref, values_t_hbm, ids_hbm, out_ref, acc, vbuf,
             vhi = v.astype(jnp.bfloat16)
             vlo = (v - vhi.astype(jnp.float32)).astype(jnp.bfloat16)
             dims = (((1,), (1,)), ((), ()))
-            acc[...] += jax.lax.dot_general(
-                onehot, vhi, dimension_numbers=dims,
-                preferred_element_type=jnp.float32)
-            acc[...] += jax.lax.dot_general(
-                onehot, vlo, dimension_numbers=dims,
-                preferred_element_type=jnp.float32)
+            for part in (vhi, vlo):
+                if out_transposed:
+                    # acc [d, TILE_N] += v [d, SUB] · onehotᵀ
+                    acc[...] += jax.lax.dot_general(
+                        part, onehot, dimension_numbers=dims,
+                        preferred_element_type=jnp.float32)
+                else:
+                    acc[...] += jax.lax.dot_general(
+                        onehot, part, dimension_numbers=dims,
+                        preferred_element_type=jnp.float32)
 
         # refill the slot just consumed with the block NBUF ahead
         @pl.when(bi + NBUF < num_blocks)
@@ -127,10 +137,13 @@ def _segsum_kernel(tile_ptr_ref, values_t_hbm, ids_hbm, out_ref, acc, vbuf,
     out_ref[...] = acc[...]
 
 
-@functools.partial(jax.jit, static_argnames=("num_segments", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("num_segments", "interpret",
+                                    "out_transposed"))
 def csr_segment_sum_t(values_t: jnp.ndarray, segment_ids_2d: jnp.ndarray,
                       tile_ptr: jnp.ndarray, num_segments: int,
-                      interpret: bool = False) -> jnp.ndarray:
+                      interpret: bool = False,
+                      out_transposed: bool = False) -> jnp.ndarray:
     """Sorted segment-sum over feature-major values.
 
     Args:
@@ -139,12 +152,25 @@ def csr_segment_sum_t(values_t: jnp.ndarray, segment_ids_2d: jnp.ndarray,
       segment_ids_2d: [K_pad / 128, 128] int32 sorted ids.
       tile_ptr: [T+1] int32 from ``pack_csr_tiles``.
       num_segments: unpadded segment count N.
-    Returns [N, d] sums.
+      out_transposed: return [d, N] (feature-major, lane-packing friendly)
+        instead of [N, d].
+    Returns [N, d] sums ([d, N] when out_transposed).
     """
     d, k_pad = values_t.shape
     assert k_pad % BLOCK == 0, k_pad
     n_tiles = tile_ptr.shape[0] - 1
     n_pad = n_tiles * TILE_N
+
+    if out_transposed:
+        out_spec = pl.BlockSpec((d, TILE_N), lambda t, ptr: (0, t),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((d, n_pad), jnp.float32)
+        acc_shape = (d, TILE_N)
+    else:
+        out_spec = pl.BlockSpec((TILE_N, d), lambda t, ptr: (t, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((n_pad, d), jnp.float32)
+        acc_shape = (TILE_N, d)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -153,22 +179,21 @@ def csr_segment_sum_t(values_t: jnp.ndarray, segment_ids_2d: jnp.ndarray,
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
-        out_specs=pl.BlockSpec((TILE_N, d), lambda t, ptr: (t, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_spec,
         scratch_shapes=[
-            pltpu.VMEM((TILE_N, d), jnp.float32),
+            pltpu.VMEM(acc_shape, jnp.float32),
             pltpu.VMEM((NBUF, d, BLOCK), jnp.float32),
             pltpu.VMEM((NBUF, NSUB, 128), jnp.int32),
             pltpu.SemaphoreType.DMA((NBUF, 2)),
         ],
     )
     out = pl.pallas_call(
-        _segsum_kernel,
-        out_shape=jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
+        _make_segsum_kernel(out_transposed),
+        out_shape=out_shape,
         grid_spec=grid_spec,
         interpret=interpret,
     )(tile_ptr, values_t, segment_ids_2d)
-    return out[:num_segments]
+    return out[:, :num_segments] if out_transposed else out[:num_segments]
 
 
 def csr_segment_sum(values: jnp.ndarray, segment_ids_2d: jnp.ndarray,

@@ -26,10 +26,19 @@ from ihgnn_tpu.train.metrics import Metrics, ranking_metrics
 
 
 def make_eval_fns(model, graph, query_words, query_word_counts):
+    # graph enters the jitted program as an argument (bound at call time),
+    # not a closure — closures bake large graphs into the HLO as literals
+    graph = jax.tree_util.tree_map(jnp.asarray, graph)
+    query_words = jnp.asarray(query_words)
+    query_word_counts = jnp.asarray(query_word_counts)
+
     @jax.jit
-    def features_fn(params):
+    def _features(params, graph, query_words, query_word_counts):
         return model.apply(params, graph, query_words, query_word_counts,
                            method=model.all_features)
+
+    def features_fn(params):
+        return _features(params, graph, query_words, query_word_counts)
 
     @jax.jit
     def metrics_fn(params, features, users, queries, truth, truth_counts):

@@ -51,16 +51,40 @@ def bce_with_logits(logits: jnp.ndarray, labels: jnp.ndarray,
 def make_train_step(model, graph, query_words, query_word_counts,
                     tx: optax.GradientTransformation,
                     grad_accum_steps: int = 1) -> Callable:
-    """Returns train_step(state, batch) -> (state, loss). Graph arrays are
-    closed over as constants (donated to the compiled executable once).
+    """Returns train_step(state, batch) -> (state, loss).
+
+    The graph/query arrays enter the jitted step as *arguments* (bound via
+    jax.tree_util.Partial-style closure below but passed through the traced
+    call), so they are runtime buffers rather than baked HLO literals —
+    large-graph programs otherwise exceed compile-payload limits.
 
     ``grad_accum_steps`` > 1 replicates the reference's ``batch_size_times``
     (TrainTestHelper.py:137-143): the step takes a stacked batch pytree of
     [k, R] leaves, sums gradients over the k microbatches (torch
     ``backward`` accumulation semantics) and applies one optimizer update;
-    the returned loss is the mean over microbatches."""
+    the returned loss is the sum over microbatches (caller averages).
 
-    def loss_fn(params, batch):
+    The returned function is ALREADY jitted (with the train state donated);
+    do not wrap it in jax.jit again — that would re-trace the binding
+    wrapper and bake the graph back into the program as literals."""
+    inner = jax.jit(make_graph_train_step(model, tx, grad_accum_steps),
+                    donate_argnums=(0,))
+    graph = jax.tree.map(jnp.asarray, graph)
+    query_words = jnp.asarray(query_words)
+    query_word_counts = jnp.asarray(query_word_counts)
+
+    def train_step(state: TrainState, batch):
+        return inner(state, graph, query_words, query_word_counts, batch)
+
+    return train_step
+
+
+def make_graph_train_step(model, tx: optax.GradientTransformation,
+                          grad_accum_steps: int = 1) -> Callable:
+    """train_step(state, graph, query_words, query_word_counts, batch)
+    with the graph as an explicit traced argument."""
+
+    def loss_fn(params, graph, query_words, query_word_counts, batch):
         logits = model.apply(params, graph, query_words, query_word_counts,
                              batch.users, batch.queries, batch.items)
         return bce_with_logits(logits, batch.flags, batch.weight)
@@ -73,21 +97,23 @@ def make_train_step(model, graph, query_words, query_word_counts,
                                    step=state.step + 1), loss
 
     if grad_accum_steps == 1:
-        def train_step(state: TrainState, batch) -> Tuple[TrainState, jnp.ndarray]:
-            loss, grads = jax.value_and_grad(loss_fn)(state.params, batch)
+        def train_step(state: TrainState, graph, query_words,
+                       query_word_counts, batch) -> Tuple[TrainState, jnp.ndarray]:
+            loss, grads = jax.value_and_grad(loss_fn)(
+                state.params, graph, query_words, query_word_counts, batch)
             return apply_update(state, grads, loss)
         return train_step
 
-    def train_step(state: TrainState, stacked) -> Tuple[TrainState, jnp.ndarray]:
+    def train_step(state: TrainState, graph, query_words, query_word_counts,
+                   stacked) -> Tuple[TrainState, jnp.ndarray]:
         def body(carry, microbatch):
             gsum, lsum = carry
-            loss, grads = jax.value_and_grad(loss_fn)(state.params, microbatch)
+            loss, grads = jax.value_and_grad(loss_fn)(
+                state.params, graph, query_words, query_word_counts, microbatch)
             return (jax.tree.map(jnp.add, gsum, grads), lsum + loss), None
 
         zero = jax.tree.map(jnp.zeros_like, state.params)
         (grads, loss_sum), _ = jax.lax.scan(body, (zero, jnp.zeros(())), stacked)
-        # return the SUM over microbatches; the caller divides by the real
-        # batch count (zero-weight filler batches contribute zero loss)
         return apply_update(state, grads, loss_sum)
 
     return train_step

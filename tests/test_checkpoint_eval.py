@@ -31,8 +31,8 @@ def trained():
     tx = make_optimizer(cfg)
     state = init_state(model, jax.random.key(0), g, train.query_words,
                        train.query_word_counts, cfg, tx)
-    step = jax.jit(make_train_step(model, g, train.query_words,
-                                   train.query_word_counts, tx))
+    step = make_train_step(model, g, train.query_words,
+                           train.query_word_counts, tx)
     for batch in TrainSampler(train, 16, 4, seed=0).epoch():
         state, _ = step(state, batch)
     return cfg, train, test, model, state

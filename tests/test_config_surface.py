@@ -26,8 +26,8 @@ def test_gat_product_head(data):
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((g.node_count, D)).astype(np.float32))
     layer = GATLayer(D, D, head=V.PRODUCT)
-    params = layer.init(jax.random.key(0), x, g)
-    out = np.asarray(layer.apply(params, x, g))
+    params = layer.init(jax.random.key(0), x.T, g)
+    out = np.asarray(layer.apply(params, x.T, g)).T
     assert out.shape == (g.node_count, D) and np.isfinite(out).all()
 
     # oracle: score = LeakyReLU(Linear(x_src * x_dst)), softmax over dst
@@ -65,7 +65,7 @@ def test_query_activation_transform(data):
     feats = model.apply(params, g, data.query_words, data.query_word_counts,
                         method=model.all_features)
     # ReLU output of the transform: query block is non-negative
-    qblock = np.asarray(feats)[data.query_start:data.item_start, :D]
+    qblock = np.asarray(feats)[:D, data.query_start:data.item_start]
     assert (qblock >= 0).all()
 
 

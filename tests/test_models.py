@@ -35,8 +35,8 @@ def test_gcn_matches_dense(data):
     g = data.graph2d
     x = _x(data)
     layer = GCNLayer(D, D)
-    params = layer.init(jax.random.key(0), x, g)
-    out = np.asarray(layer.apply(params, x, g))
+    params = layer.init(jax.random.key(0), x.T, g)
+    out = np.asarray(layer.apply(params, x.T, g)).T
 
     w, b = _dense_of(params)
     a = np.zeros((g.node_count, g.node_count), np.float32)
@@ -50,8 +50,8 @@ def test_hgcn_matches_dense(data):
     g = data.hypergraph
     x = _x(data)
     layer = HGCNLayer(D, D)
-    params = layer.init(jax.random.key(0), x, g)
-    out = np.asarray(layer.apply(params, x, g))
+    params = layer.init(jax.random.key(0), x.T, g)
+    out = np.asarray(layer.apply(params, x.T, g)).T
 
     w, b = _dense_of(params)
     h = np.zeros((g.node_count, g.edge_count), np.float32)
@@ -69,8 +69,8 @@ def test_ihgnn_matches_dense(data, order):
     g = data.hypergraph
     x = _x(data)
     layer = IHGNNLayer(D, D, interaction_order=order)
-    params = layer.init(jax.random.key(1), x, g)
-    out = np.asarray(layer.apply(params, x, g))
+    params = layer.init(jax.random.key(1), x.T, g)
+    out = np.asarray(layer.apply(params, x.T, g)).T
 
     w, b = _dense_of(params)
     wa, ba = _dense_of({"params": params["params"]["interactor"]}, "aggregation")
@@ -95,8 +95,8 @@ def test_gat_matches_dense(data):
     g = data.graph2d
     x = _x(data)
     layer = GATLayer(D, D, head=V.CONCAT)
-    params = layer.init(jax.random.key(2), x, g)
-    out = np.asarray(layer.apply(params, x, g))
+    params = layer.init(jax.random.key(2), x.T, g)
+    out = np.asarray(layer.apply(params, x.T, g)).T
 
     w, b = _dense_of(params)
     ph = params["params"]["gat"]["feature_aggregate"]
@@ -119,8 +119,8 @@ def test_ihgnn_phase2_runs(data):
     g = data.hypergraph
     x = _x(data)
     layer = IHGNNLayer(D, D, interaction_order=2, phase2_attention=True)
-    params = layer.init(jax.random.key(3), x, g)
-    out = layer.apply(params, x, g)
+    params = layer.init(jax.random.key(3), x.T, g)
+    out = layer.apply(params, x.T, g).T
     assert out.shape == (g.node_count, D)
     assert np.isfinite(np.asarray(out)).all()
 
@@ -144,7 +144,7 @@ def test_rawgnn_forward_all_layer_types(data, gnn):
 
     feats = model.apply(params, graph, data.query_words, data.query_word_counts,
                         method=model.all_features)
-    assert feats.shape == (data.node_count, D * 3)
+    assert feats.shape == (D * 3, data.node_count)
 
     # score_all consistency with per-row scoring
     all_scores = model.apply(params, feats, users, queries,
@@ -168,5 +168,5 @@ def test_query_embedding_is_bag_mean(data):
     vocab = np.asarray(params["params"]["embeddings"]["vocab_table"])
     q0_words = data.query_words[0][data.query_words[0] > 0]
     expect = vocab[q0_words].mean(0)
-    got = np.asarray(feats)[data.query_start, :D]
+    got = np.asarray(feats)[:D, data.query_start]
     np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-5)

@@ -80,7 +80,7 @@ def test_hyper_ops_xla_path_grads():
     gather, scatter = make_hyper_ops(g)
 
     def f_op(x):
-        return (gather(x) ** 2).sum()
+        return (gather(x.T) ** 2).sum()
 
     def f_ref(x):
         return ((x[g.i3]) ** 2).sum()
@@ -89,7 +89,7 @@ def test_hyper_ops_xla_path_grads():
                                np.asarray(jax.grad(f_ref)(x)), rtol=1e-5)
 
     def s_op(ef):
-        return (scatter(ef) ** 3).sum()
+        return (scatter(ef.T) ** 3).sum()
 
     def s_ref(ef):
         h = jax.ops.segment_sum(ef[g.inc_edge], jnp.asarray(g.inc_node),

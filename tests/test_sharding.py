@@ -36,31 +36,37 @@ def _build(table_row_multiple=1, pad_edges_to=1):
                            cfg.train.random_negative_sample_size, seed=2,
                            row_multiple=4)
     batch = next(sampler.epoch())
-    step = make_train_step(model, graph, data.query_words,
-                           data.query_word_counts, tx)
-    return cfg, data, graph, model, state, batch, step
+
+    def make_step(bound_graph):
+        return make_train_step(model, bound_graph, data.query_words,
+                               data.query_word_counts, tx)
+
+    return cfg, data, graph, model, state, batch, make_step
 
 
 def test_padded_graph_matches_unpadded_loss():
-    _, data, graph, model, state, batch, step = _build(pad_edges_to=4)
+    _, data, graph, model, state, batch, make_step = _build(pad_edges_to=4)
     # same model/params on the unpadded graph must give the same loss
-    _, _, g0, model0, state0, batch0, step0 = _build(pad_edges_to=1)
-    s1, loss_padded = jax.jit(step)(state, batch)
-    s0, loss_plain = jax.jit(step0)(state0, batch0)
+    _, _, g0, model0, state0, batch0, make_step0 = _build(pad_edges_to=1)
+    s1, loss_padded = make_step(graph)(state, batch)
+    s0, loss_plain = make_step0(g0)(state0, batch0)
     assert float(loss_padded) == pytest.approx(float(loss_plain), rel=1e-5)
 
 
 def test_sharded_step_matches_single_device():
-    cfg, data, graph, model, state, batch, step = _build(
+    # the returned step donates its input state, so build twice (the
+    # build is deterministic) — one state per run
+    cfg, data, graph, model, state, batch, make_step = _build(
         table_row_multiple=2, pad_edges_to=4)
-    jstep = jax.jit(step)
-    s_ref, loss_ref = jstep(state, batch)
+    s_ref, loss_ref = make_step(graph)(state, batch)
 
+    _, _, graph2, _, state2, batch2, make_step2 = _build(
+        table_row_multiple=2, pad_edges_to=4)
     mesh = make_mesh(MeshConfig(data=4, model=2))
-    sh_state = shard_state(state, mesh)
-    sh_graph = shard_graph(graph, mesh)
-    sh_batch = shard_batch(batch, mesh)
-    s_out, loss_sh = jstep(sh_state, sh_batch)
+    sh_state = shard_state(state2, mesh)
+    sh_graph = shard_graph(graph2, mesh)
+    sh_batch = shard_batch(batch2, mesh)
+    s_out, loss_sh = make_step2(sh_graph)(sh_state, sh_batch)
 
     assert float(loss_sh) == pytest.approx(float(loss_ref), rel=1e-4)
     # params after the sharded step match the single-device step

@@ -36,8 +36,8 @@ def test_train_loss_decreases_and_eval_works(setup):
     tx = make_optimizer(cfg)
     state = init_state(model, jax.random.key(0), graph, train.query_words,
                        train.query_word_counts, cfg, tx)
-    step = jax.jit(make_train_step(model, graph, train.query_words,
-                                   train.query_word_counts, tx))
+    step = make_train_step(model, graph, train.query_words,
+                           train.query_word_counts, tx)
     sampler = TrainSampler(train, cfg.train.batch_size,
                            cfg.train.random_negative_sample_size, seed=1)
 
@@ -109,11 +109,8 @@ def test_grad_accum_matches_summed_grads(setup):
     for _ in range(2):
         batches.append(next(it))
 
-    step1 = jax.jit(make_train_step(model, graph, train.query_words,
-                                    train.query_word_counts, tx))
-    stepk = jax.jit(make_train_step(model, graph, train.query_words,
-                                    train.query_word_counts, tx,
-                                    grad_accum_steps=2))
+    stepk = make_train_step(model, graph, train.query_words,
+                            train.query_word_counts, tx, grad_accum_steps=2)
 
     # manual: sum grads of the two batches, single update
     from ihgnn_tpu.train.train import bce_with_logits
