@@ -8,18 +8,55 @@ node embeddings and projects with a single Linear
   order 2: [u, q, i, u⊙q, q⊙i, i⊙u]           → Linear(6d, out)
   order 3: order 2 + [u⊙q⊙i]                  → Linear(7d, out)
 
-Feature-major: the gathered endpoints arrive as [d, 3E] (role-major
-columns); the cross features concatenate along the feature (sublane) axis
-into [kd, E] and the projection is one MXU matmul [out, kd] × [kd, E] —
-no lane padding anywhere (E is the 128-lane axis).
+Feature-major and memory-lean: the gathered endpoints arrive as [d, 3E]
+(role-major columns) and the projection is computed as a SUM of per-part
+matmuls  Σ_k W[kd:(k+1)d]ᵀ · part_k  — mathematically identical to
+Linear(concat(parts)) but the [kd, E] concat (8.3 GB at the 10M-edge
+stress scale) is never materialized. The parameter tree matches a plain
+Linear ("aggregation"/dense/kernel [kd, out] + bias), so checkpoints are
+identical either way.
 """
 
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
-from ihgnn_tpu.models.common import TorchDenseT
+from ihgnn_tpu.models.initializers import torch_linear_bias, torch_linear_kernel
+
+
+class _SplitDenseT(nn.Module):
+    """Linear over implicitly-concatenated feature-major parts."""
+
+    features: int
+    in_features: int
+    part_dim: int
+
+    @nn.compact
+    def __call__(self, parts) -> jnp.ndarray:
+        kernel = self.param("kernel", torch_linear_kernel(),
+                            (self.in_features, self.features))
+        bias = self.param("bias", torch_linear_bias(self.in_features),
+                          (self.features,))
+        out = None
+        for j, part in enumerate(parts):
+            kj = kernel[j * self.part_dim:(j + 1) * self.part_dim, :]
+            y = jax.lax.dot_general(kj, part, (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            out = y if out is None else out + y
+        return out + bias[:, None]
+
+
+class _Aggregation(nn.Module):
+    features: int
+    in_features: int
+    part_dim: int
+
+    @nn.compact
+    def __call__(self, parts) -> jnp.ndarray:
+        return _SplitDenseT(self.features, self.in_features, self.part_dim,
+                            name="dense")(parts)
 
 
 class FeatureInteractor(nn.Module):
@@ -41,6 +78,5 @@ class FeatureInteractor(nn.Module):
             parts = [u, q, i, uq, qi, iu]
             if self.max_order == 3:
                 parts.append(uq * i)
-        feats_t = jnp.concatenate(parts, axis=0)           # [kd, E]
-        return TorchDenseT(self.output_dim, len(parts) * d,
-                           name="aggregation")(feats_t)
+        return _Aggregation(self.output_dim, len(parts) * d, d,
+                            name="aggregation")(parts)
