@@ -20,7 +20,8 @@ from ihgnn_tpu.config import Config, V, parse_args
 from ihgnn_tpu.data.dataset import EvalLogs, GraphData, TrainSampler
 from ihgnn_tpu.models.rawgnn import RawGnn
 from ihgnn_tpu.parallel.mesh import make_mesh
-from ihgnn_tpu.parallel.sharding import (pad_hypergraph_for_mesh, shard_batch,
+from ihgnn_tpu.parallel.sharding import (pad_graph2d_for_mesh,
+                                         pad_hypergraph_for_mesh, shard_batch,
                                          shard_graph, shard_state)
 from ihgnn_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
 from ihgnn_tpu.train.controller import ProcessController
@@ -99,8 +100,11 @@ def run(cfg: Config) -> MetricsCollection:
     # ---- mesh + model ----
     mesh = make_mesh(cfg.mesh) if cfg.mesh.device_count > 1 else None
     graph = pick_graph(data, cfg)
-    if mesh is not None and cfg.model.uses_hypergraph:
-        graph = pad_hypergraph_for_mesh(graph, cfg.mesh.data)
+    if mesh is not None:
+        if cfg.model.uses_hypergraph and not cfg.model.use_log_hypergraph:
+            graph = pad_hypergraph_for_mesh(graph, cfg.mesh.data)
+        elif cfg.model.gnn in (V.GCN, V.GAT):
+            graph = pad_graph2d_for_mesh(graph, cfg.mesh.data)
 
     if cfg.model.model == V.RAWGNN:
         model = RawGnn(cfg=cfg.model, user_count=data.user_count,

@@ -104,7 +104,12 @@ def shard_graph(graph, mesh: Mesh):
 
 
 def batch_sharding(batch, mesh: Mesh):
-    return jax.tree.map(lambda _: NamedSharding(mesh, P(DATA_AXIS)), batch)
+    # rows shard over 'data'; for grad-accum stacks [k, R] the stack axis
+    # stays replicated and the row axis shards
+    def spec(leaf):
+        nd = getattr(leaf, "ndim", 1)
+        return NamedSharding(mesh, P(*([None] * (nd - 1) + [DATA_AXIS])))
+    return jax.tree.map(spec, batch)
 
 
 def shard_batch(batch, mesh: Mesh):
@@ -113,6 +118,27 @@ def shard_batch(batch, mesh: Mesh):
 
 def round_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+def pad_graph2d_for_mesh(graph: Graph2D, data_parallel: int) -> Graph2D:
+    """Pad the COO entry count to a multiple of the data axis with zero-value
+    entries at the last node (keeps row-sorting; contributes nothing)."""
+    nnz = graph.nnz
+    nnz_pad = round_up(max(nnz, 1), data_parallel)
+    if nnz_pad == nnz:
+        return graph
+    extra = nnz_pad - nnz
+    last = graph.node_count - 1
+    return Graph2D(
+        row=np.concatenate([graph.row, np.full(extra, last, np.int32)]),
+        col=np.concatenate([graph.col, np.full(extra, last, np.int32)]),
+        val=np.concatenate([graph.val, np.zeros(extra, np.float32)]),
+        dv=graph.dv,
+        dst_order=np.concatenate([graph.dst_order,
+                                  np.arange(nnz, nnz_pad, dtype=np.int32)]),
+        node_count=graph.node_count,
+        nnz=int(nnz_pad),
+    )
 
 
 def pad_hypergraph_for_mesh(graph: HyperGraph, data_parallel: int) -> HyperGraph:

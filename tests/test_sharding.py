@@ -82,3 +82,52 @@ def test_mesh_shapes():
     assert mesh.shape == {"data": 2, "model": 4}
     mesh = make_mesh(MeshConfig(data=8, model=1))
     assert mesh.shape == {"data": 8, "model": 1}
+
+
+def test_grad_accum_batch_sharding_spec():
+    """Stacked [k, R] grad-accum batches shard rows, not the stack axis."""
+    import numpy as np
+    from jax.sharding import PartitionSpec as P
+    from ihgnn_tpu.data.dataset import Batch
+    from ihgnn_tpu.parallel.sharding import batch_sharding
+
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    flat = Batch(users=np.zeros(8, np.int32), queries=np.zeros(8, np.int32),
+                 items=np.zeros(8, np.int32), flags=np.zeros(8, np.float32),
+                 weight=np.zeros(8, np.float32))
+    stacked = jax.tree.map(lambda x: np.stack([x, x]), flat)
+    sh_flat = batch_sharding(flat, mesh)
+    sh_stacked = batch_sharding(stacked, mesh)
+    assert sh_flat.users.spec == P("data")
+    assert sh_stacked.users.spec == P(None, "data")
+
+
+def test_gcn_sharded_step_runs():
+    """GCN (2D graph) trains one sharded step on the mesh."""
+    from ihgnn_tpu.data.synthetic import make_synthetic_data
+    from ihgnn_tpu.data.dataset import TrainSampler
+    from ihgnn_tpu.models.rawgnn import RawGnn
+    from ihgnn_tpu.parallel.sharding import pad_graph2d_for_mesh
+    from ihgnn_tpu.train.train import init_state, make_optimizer, make_train_step
+    from ihgnn_tpu.config import V
+
+    cfg = Config(model=ModelConfig(gnn=V.GCN, embedding_size=8,
+                                   gnn_layer_count=2),
+                 train=TrainConfig(batch_size=16, random_negative_sample_size=4))
+    data = make_synthetic_data(user_count=9, query_count=7, item_count=13,
+                               vocab_size=11, log_count=80, seed=5)
+    graph = pad_graph2d_for_mesh(data.graph2d, 4)
+    assert graph.nnz % 4 == 0
+    model = RawGnn(cfg=cfg.model, user_count=data.user_count,
+                   query_count=data.query_count, item_count=data.item_count,
+                   vocab_size=data.vocab_size, table_row_multiple=2)
+    tx = make_optimizer(cfg)
+    state = init_state(model, jax.random.key(0), graph, data.query_words,
+                       data.query_word_counts, cfg, tx)
+    batch = next(TrainSampler(data, 16, 4, seed=2, row_multiple=4).epoch())
+
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    step = make_train_step(model, shard_graph(graph, mesh), data.query_words,
+                           data.query_word_counts, tx)
+    s, loss = step(shard_state(state, mesh), shard_batch(batch, mesh))
+    assert np.isfinite(float(loss))
