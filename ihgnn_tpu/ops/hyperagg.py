@@ -63,14 +63,22 @@ def _segsum_regions_t(u_part, q_part, i_part, perm_q, perm_i, ids2d,
                              out_transposed=True)
 
 
+def _gather_split(x_t, i3_flat):
+    """Per-role gathers: the u-role ids are sorted (edges are u-numbered),
+    which the HBM access pattern rewards ~10x over a random gather."""
+    e = i3_flat.shape[0] // 3
+    return jnp.concatenate([x_t[:, i3_flat[:e]], x_t[:, i3_flat[e:2 * e]],
+                            x_t[:, i3_flat[2 * e:]]], axis=1)
+
+
 @jax.custom_vjp
 def _gather_roles_t(x_t, i3_flat, perm_q, perm_i, ids2d, tile_ptr):
-    return x_t[:, i3_flat]
+    return _gather_split(x_t, i3_flat)
 
 
 def _gather_fwd(x_t, i3_flat, perm_q, perm_i, ids2d, tile_ptr):
-    return x_t[:, i3_flat], (i3_flat, perm_q, perm_i, ids2d, tile_ptr,
-                             x_t.shape[1])
+    return _gather_split(x_t, i3_flat), (i3_flat, perm_q, perm_i, ids2d,
+                                         tile_ptr, x_t.shape[1])
 
 
 def _gather_bwd(res, cot):
@@ -101,8 +109,9 @@ def _scatter_fwd(edge_t, i3_flat, perm_q, perm_i, ids2d, tile_ptr, n):
 def _scatter_bwd(n, res, cot):
     i3_flat, perm_q, perm_i, ids2d, tile_ptr = res
     e = i3_flat.shape[0] // 3
-    g = cot[:, i3_flat]
-    grad = g[:, :e] + g[:, e:2 * e] + g[:, 2 * e:]
+    # per-role gathers: the u-role gather is monotone (fast path)
+    grad = (cot[:, i3_flat[:e]] + cot[:, i3_flat[e:2 * e]]
+            + cot[:, i3_flat[2 * e:]])
     return (grad, _f0(i3_flat), _f0(perm_q), _f0(perm_i), _f0(ids2d),
             _f0(tile_ptr))
 
@@ -125,7 +134,7 @@ def make_hyper_ops(graph: HyperGraph):
 
     if not use_pallas(graph):
         def gather_roles_t(x_t):
-            return x_t[:, i3_flat]
+            return _gather_split(x_t, i3_flat)
 
         def scatter_incidence_t(edge_t):
             out = xla_ops.hyperedge_scatter(edge_t.T, graph.inc_edge,
