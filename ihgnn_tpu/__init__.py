@@ -15,3 +15,23 @@ Layering (bottom-up):
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy re-exports of the main entry points (keeps bare import light)
+    if name in ("Config", "parse_args", "V"):
+        from ihgnn_tpu import config
+        return getattr(config, name)
+    if name == "GraphData":
+        from ihgnn_tpu.data.dataset import GraphData
+        return GraphData
+    if name == "RawGnn":
+        from ihgnn_tpu.models.rawgnn import RawGnn
+        return RawGnn
+    if name == "Srrl":
+        from ihgnn_tpu.models.srrl import Srrl
+        return Srrl
+    if name == "run":
+        from ihgnn_tpu.cli import run
+        return run
+    raise AttributeError(name)
