@@ -85,6 +85,17 @@ def run(cfg: Config) -> MetricsCollection:
               f"{cfg.model.feature_interaction_order} | dataset: {cfg.io.data_dir}")
 
     # ---- data ----
+    # dataset-root indirection: a ./dataset_dir.txt first line prefixes
+    # relative dataset paths (Main.py:73-77)
+    data_dir = cfg.io.data_dir
+    if not os.path.isabs(data_dir) and os.path.exists("./dataset_dir.txt"):
+        with open("./dataset_dir.txt", "r", encoding="utf-8") as f:
+            root = f.readline().strip()
+        if root and not os.path.exists(data_dir):
+            data_dir = os.path.join(root, data_dir)
+            log_print(f"dataset root indirection: {data_dir}")
+    cfg = dataclasses_replace_io(cfg, data_dir)
+
     log_print("loading dataset...")
     data = GraphData.from_files(cfg.io.data_dir, "train",
                                 graph_completeness=cfg.model.graph_completeness,
@@ -225,6 +236,12 @@ def run(cfg: Config) -> MetricsCollection:
     report_best(cfg, all_metrics, result_dir, fn_metrics)
     end_logging()
     return all_metrics
+
+
+def dataclasses_replace_io(cfg: Config, data_dir: str) -> Config:
+    import dataclasses
+    return dataclasses.replace(cfg, io=dataclasses.replace(cfg.io,
+                                                           data_dir=data_dir))
 
 
 def batched_epoch(sampler: TrainSampler, grad_accum_steps: int):

@@ -129,3 +129,35 @@ def test_text_preprocessor():
     assert "the" not in words           # stopword removed
     assert all(w.isalpha() for w in words)
     assert any(w.startswith("run") for w in words)   # stemmed
+
+
+def test_preprocess_module_clis(tmp_path):
+    """Drive the three steps through their `python -m` CLI surfaces."""
+    from ihgnn_tpu.data.preprocess import amazon, onehot, subset
+
+    meta, reviews = make_amazon_files(tmp_path)
+    inter_dir = str(tmp_path / "inter")
+    amazon.main(["--item", meta, "--search", reviews, "--result", inter_dir])
+    sub_dir = str(tmp_path / "sub")
+    subset.main(["--source", inter_dir, "--result", sub_dir, "--nitem", "2"])
+    final_dir = str(tmp_path / "final2")
+    random.seed(0)
+    onehot.main(["--source", sub_dir, "--result", final_dir,
+                 "--split", "0.7,0.1"])
+    data = GraphData.from_files(final_dir)
+    assert data.pos_count > 0
+
+
+def test_presplit_cli_reproduces(tmp_path):
+    from ihgnn_tpu.data.preprocess import amazon, onehot
+
+    meta, reviews = make_amazon_files(tmp_path)
+    inter = step1_amazon(meta, reviews)
+    out1 = str(tmp_path / "o1")
+    random.seed(3)
+    step3_convert(inter, out1)
+    out2 = str(tmp_path / "o2")
+    step3_convert(inter, out2, presplit_dir=out1)
+    for fn in ["train_data.csv", "valid_data.csv", "test_data.csv"]:
+        with open(os.path.join(out1, fn)) as a, open(os.path.join(out2, fn)) as b:
+            assert a.read() == b.read(), fn

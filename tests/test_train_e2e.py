@@ -134,3 +134,26 @@ def test_grad_accum_matches_summed_grads(setup):
     for a, b in zip(jax.tree.leaves(expect), jax.tree.leaves(out_state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_training_is_deterministic(setup):
+    """Same seeds → bitwise-identical losses (regression guard)."""
+    cfg, train, *_ , model = setup
+
+    def run_two_epochs():
+        graph = train.hypergraph
+        tx = make_optimizer(cfg)
+        state = init_state(model, jax.random.key(42), graph, train.query_words,
+                           train.query_word_counts, cfg, tx)
+        step = make_train_step(model, graph, train.query_words,
+                               train.query_word_counts, tx)
+        losses = []
+        sampler = TrainSampler(train, cfg.train.batch_size,
+                               cfg.train.random_negative_sample_size, seed=7)
+        for _ in range(2):
+            for batch in sampler.epoch():
+                state, loss = step(state, batch)
+                losses.append(float(loss))
+        return losses
+
+    assert run_two_epochs() == run_two_epochs()
