@@ -174,13 +174,20 @@ def run_srrl(cfg: Config, data: GraphData, valid: EvalLogs, test: EvalLogs,
     """The Srrl branch of the experiment driver."""
     import os
 
-    from ihgnn_tpu.train.checkpoint import save_checkpoint
+    from ihgnn_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
     from ihgnn_tpu.train.controller import ProcessController
 
     t = cfg.train
     model, state, tx_kg, tx_ps = init_srrl(cfg, data, jax.random.key(t.seed))
     n_params = sum(x.size for x in jax.tree.leaves(state.params))
     log_print(f"Srrl parameters: {n_params}")
+
+    epoch_start = 1
+    if cfg.io.checkpoint:
+        epoch_ckpt, state = restore_checkpoint(result_dir, cfg.io.checkpoint,
+                                               jax.device_get(state))
+        epoch_start = epoch_ckpt + 1
+        log_print(f"restored checkpoint at epoch {epoch_ckpt}")
 
     meta = MetaPaths(data)
     kg_sampler = SrrlKGSampler(meta, t.batch_size, t.negative_sample_size,
@@ -194,7 +201,7 @@ def run_srrl(cfg: Config, data: GraphData, valid: EvalLogs, test: EvalLogs,
     features_fn, metrics_fn = make_eval_fns_srrl(model, data)
 
     pc = ProcessController(
-        t.epoch_count, 1, t.epoch_start_test, t.epoch_test_frequency,
+        t.epoch_count, epoch_start, t.epoch_start_test, t.epoch_test_frequency,
         t.epoch_count if cfg.io.store_checkpoint else None,
         1000000 if cfg.io.store_checkpoint else None)
     all_metrics = MetricsCollection(t.use_valid_dataset)

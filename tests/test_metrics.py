@@ -103,3 +103,16 @@ def test_metrics_collection_best():
         c.add(e, mt, mv)
     epoch, test, valid = c.get_valid_best(key=lambda m: m.NDCG_at10)
     assert epoch == 20 and valid.NDCG_at10 == 0.6 and test.NDCG_at10 == 0.3
+
+
+def test_process_controller_schedule_parity():
+    """Reference worked example (Helpers/ProcessController.py:114-118):
+    20 epochs from 5, test-start 7, frequency 2 → tests fire at epochs
+    11,13,...,23 and the final epoch 24."""
+    from ihgnn_tpu.train.controller import ProcessController
+
+    pc = ProcessController(20, 5, 7, 2)
+    fired = [e for e in pc if pc.ShouldTest()]
+    assert fired[0] == 11      # first epoch where e - start >= start_test
+    assert all(b - a == 2 for a, b in zip(fired, fired[1:-1]))
+    assert fired[-1] == 24     # always fires at the last epoch
