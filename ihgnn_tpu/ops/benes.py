@@ -1,0 +1,162 @@
+"""Clos/Beneš routing of a static permutation through row-local stages.
+
+Groundwork for the round-2 Pallas permutation kernel (docs/KERNELS.md):
+any permutation of E = S·S elements, viewed as an [S, S] row-major grid,
+factors as
+
+    out = P2_rows ∘ T ∘ P1_rows ∘ T ∘ P0_rows
+
+where each ``Pk_rows`` permutes elements *within* rows (VMEM-local, cheap
+on TPU) and ``T`` is the full [S, S] block transpose (a tiled
+near-bandwidth kernel). Existence follows from König's theorem: the demand
+multigraph between input rows and output rows is S-regular bipartite,
+hence S-edge-colorable; color classes give the middle-stage assignment.
+
+The coloring is computed by recursive Euler splits (S must be a power of
+two): orienting an Eulerian circuit of a 2k-regular bipartite multigraph
+splits it into two k-regular halves; recursing down to 1-regular yields
+perfect matchings = colors. Host-side, one-time per graph; O(E log S).
+
+All functions are pure NumPy (no accelerator).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+
+def euler_split(u: np.ndarray, v: np.ndarray, n_left: int, n_right: int
+                ) -> np.ndarray:
+    """Split a bipartite multigraph with all-even degrees into two halves of
+    equal degree per vertex.
+
+    Args:
+      u, v: [E] endpoint indices (left, right) of each edge.
+      n_left, n_right: vertex counts.
+    Returns a boolean mask [E]: True = edge in half A. Every vertex has
+    exactly half its edges in A (degrees must all be even).
+    """
+    e_count = len(u)
+    # incidence lists: for each vertex, the edges touching it
+    left_edges = [[] for _ in range(n_left)]
+    right_edges = [[] for _ in range(n_right)]
+    for e in range(e_count):
+        left_edges[u[e]].append(e)
+        right_edges[v[e]].append(e)
+    left_ptr = [0] * n_left
+    right_ptr = [0] * n_right
+
+    used = np.zeros(e_count, bool)
+    mask = np.zeros(e_count, bool)
+
+    def next_unused(vertex, on_left):
+        lst = left_edges[vertex] if on_left else right_edges[vertex]
+        ptr = left_ptr if on_left else right_ptr
+        while ptr[vertex] < len(lst):
+            e = lst[ptr[vertex]]
+            ptr[vertex] += 1
+            if not used[e]:
+                return e
+        return -1
+
+    # walk Eulerian circuits; edges traversed left→right go to half A.
+    # In a bipartite graph every circuit alternates sides, so each vertex
+    # gets equal A/B incidences.
+    for start in range(e_count):
+        if used[start]:
+            continue
+        e = start
+        at_left = True    # we "arrive" at u[e] and leave via e (left→right)
+        while e != -1 and not used[e]:
+            used[e] = True
+            mask[e] = at_left
+            vertex = v[e] if at_left else u[e]
+            at_left = not at_left
+            e = next_unused(vertex, at_left)
+
+    return mask
+
+
+def edge_color_regular_bipartite(u: np.ndarray, v: np.ndarray, s: int,
+                                 n_vertices: int) -> np.ndarray:
+    """S-edge-color an S-regular bipartite multigraph (S a power of two).
+
+    Args:
+      u, v: [E] endpoints; every left and right vertex has degree exactly s.
+    Returns colors [E] in [0, s): per vertex, each color appears once.
+    """
+    assert s & (s - 1) == 0, "degree must be a power of two"
+    e_count = len(u)
+    colors = np.zeros(e_count, np.int32)
+
+    def recurse(edge_ids: np.ndarray, degree: int, base: int):
+        if degree == 1:
+            colors[edge_ids] = base
+            return
+        mask = euler_split(u[edge_ids], v[edge_ids], n_vertices, n_vertices)
+        recurse(edge_ids[mask], degree // 2, base)
+        recurse(edge_ids[~mask], degree // 2, base + degree // 2)
+
+    recurse(np.arange(e_count), s, 0)
+    return colors
+
+
+def benes_route(perm: np.ndarray, s: int
+                ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Factor ``out[j] = in[perm[j]]`` (E = s*s elements) into three
+    row-local permutations around two [s, s] transposes.
+
+    Returns (p0, p1, p2), each [s, s] with rows permuting columns:
+      stage0: a0[r, c] = in[r, p0[r, c]]
+      T:      t0[r, c] = a0[c, r]
+      stage1: a1[r, c] = t0[r, p1[r, c]]
+      T:      t1[r, c] = a1[c, r]
+      stage2: out[r, c] = t1[r, p2[r, c]]
+    """
+    e_count = s * s
+    perm = np.asarray(perm, np.int64)
+    assert perm.shape == (e_count,)
+
+    j = np.arange(e_count)
+    out_row, out_col = j // s, j % s
+    in_pos = perm
+    in_row, in_col = in_pos // s, in_pos % s
+
+    # demand multigraph: one edge per element, (input row) -> (output row)
+    color = edge_color_regular_bipartite(in_row, out_row, s, s)
+
+    # stage 0: within input row r, place the element colored k at column k
+    p0 = np.empty((s, s), np.int64)
+    p0[in_row, color] = in_col
+
+    # after T, row k holds (at column r) the color-k element of input row r.
+    # stage 1: within color-row k, place the element destined for output
+    # row r_out at column r_out
+    p1 = np.empty((s, s), np.int64)
+    p1[color, out_row] = in_row
+
+    # after T, row r_out holds (at column k) its color-k element.
+    # stage 2: move it to its final column
+    p2 = np.empty((s, s), np.int64)
+    p2[out_row, out_col] = color
+
+    return p0, p1, p2
+
+
+def apply_benes(x: np.ndarray, p0: np.ndarray, p1: np.ndarray,
+                p2: np.ndarray) -> np.ndarray:
+    """Reference execution of the factored permutation (for tests / the
+    XLA fallback). x: [E, ...] rows; returns x[perm]."""
+    s = p0.shape[0]
+    grid = x.reshape(s, s, *x.shape[1:])
+    a0 = np.take_along_axis(
+        grid, p0.reshape(s, s, *([1] * (x.ndim - 1))), axis=1)
+    t0 = np.swapaxes(a0, 0, 1)
+    a1 = np.take_along_axis(
+        t0, p1.reshape(s, s, *([1] * (x.ndim - 1))), axis=1)
+    t1 = np.swapaxes(a1, 0, 1)
+    out = np.take_along_axis(
+        t1, p2.reshape(s, s, *([1] * (x.ndim - 1))), axis=1)
+    return out.reshape(x.shape)
