@@ -24,8 +24,11 @@ def main():
     p.add_argument("--batch", type=int, default=512)
     p.add_argument("--emb", type=int, default=32)
     p.add_argument("--steps", type=int, default=10)
-    p.add_argument("--force_cpu", action="store_true", default=True)
+    p.add_argument("--platform", choices=["cpu", "native"], default="cpu",
+                   help="'cpu' forces the virtual host mesh; 'native' uses "
+                        "the default backend (real multi-chip hardware)")
     a = p.parse_args()
+    a.force_cpu = a.platform == "cpu"
 
     counts = [int(x) for x in a.devices.split(",")]
     if a.force_cpu:
