@@ -84,12 +84,14 @@ def main():
             flags=np.resize(np.ones(B, np.float32), rows),
             weight=np.ones(rows, np.float32))
 
-        step = make_train_step(model, graph, qw, qc, tx)
         if n > 1:
             mesh = make_mesh(cfg.mesh)
             state = shard_state(state, mesh)
-            graph_s = shard_graph(graph, mesh)
+            graph = shard_graph(graph, mesh)
             batch = shard_batch(batch, mesh)
+        # bind AFTER sharding so the timed program is the edge-sharded one
+        # (mirrors cli.py; binding first would time the unsharded graph)
+        step = make_train_step(model, graph, qw, qc, tx)
 
         state, loss = step(state, batch)
         jax.block_until_ready(loss)

@@ -24,7 +24,7 @@ from ihgnn_tpu.parallel.sharding import (pad_graph2d_for_mesh,
                                          pad_hypergraph_for_mesh, shard_batch,
                                          shard_graph, shard_state)
 from ihgnn_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
-from ihgnn_tpu.train.controller import ProcessController
+from ihgnn_tpu.train.controller import EpochSchedule
 from ihgnn_tpu.train.eval import evaluate, make_eval_fns
 from ihgnn_tpu.train.metrics import Metrics, MetricsCollection
 from ihgnn_tpu.train.train import (adjust_lr_after_epoch, init_state,
@@ -111,6 +111,10 @@ def run(cfg: Config) -> MetricsCollection:
     # ---- mesh + model ----
     mesh = make_mesh(cfg.mesh) if cfg.mesh.device_count > 1 else None
     graph = pick_graph(data, cfg)
+    if not cfg.runtime.use_pallas:
+        from ihgnn_tpu.ops.hyperagg import strip_kernel_packing
+        graph = strip_kernel_packing(graph)
+        log_print("pallas kernels disabled (--no_pallas): XLA fallback ops")
     if mesh is not None:
         if cfg.model.uses_hypergraph and not cfg.model.use_log_hypergraph:
             graph = pad_hypergraph_for_mesh(graph, cfg.mesh.data)
@@ -159,7 +163,7 @@ def run(cfg: Config) -> MetricsCollection:
                                             data.query_word_counts)
 
     # ---- epoch loop (Main.py:238-290) ----
-    pc = ProcessController(
+    schedule = EpochSchedule(
         t.epoch_count, epoch_start, t.epoch_start_test, t.epoch_test_frequency,
         t.epoch_count if cfg.io.store_checkpoint else None,
         1000000 if cfg.io.store_checkpoint else None)
@@ -167,7 +171,7 @@ def run(cfg: Config) -> MetricsCollection:
     log_print(f"training: epochs {t.epoch_count} | test from "
               f"{t.epoch_start_test} every {t.epoch_test_frequency}")
 
-    for epoch in pc:
+    for epoch in schedule.epochs:
         t0 = time.time()
         # profile the second epoch (first is compile-dominated)
         profiling = (cfg.runtime.profile_dir is not None
@@ -190,20 +194,31 @@ def run(cfg: Config) -> MetricsCollection:
             jax.profiler.stop_trace()
             log_print(f"profiler trace written to {cfg.runtime.profile_dir}")
         dt = time.time() - t0
-        pc.AddTrainTime(dt)
-        log_print(f"[Epoch {epoch}/{pc.EndEpoch - 1}] avg loss {avg_loss:.4f} "
+        schedule.record_train_seconds(dt)
+        log_print(f"[Epoch {epoch}/{schedule.last_epoch}] avg loss {avg_loss:.4f} "
                   f"on {data.pos_count} positives in {dt:.2f}s "
-                  f"(remaining {pc.GetRemainingTimeString()})")
+                  f"(remaining {schedule.remaining_text(epoch)})")
 
         state, changed = adjust_lr_after_epoch(state, avg_loss, cfg)
         if changed:
             log_print(f"learning rate adjusted to {float(state.lr):.6f}")
 
-        if pc.ShouldStore():
+        if cfg.runtime.debug_stats:
+            from ihgnn_tpu.utils import debug
+            ue, ve, ie = debug.embedding_info(state.params)
+            log_print(f"[debug] embedding absmean user={ue:.6f} "
+                      f"vocab={ve:.6f} item={ie:.6f}")
+            for s in debug.feature_stats_from(features_fn(state.params),
+                                              cfg.model.embedding_size,
+                                              cfg.model.gnn_layer_count):
+                log_print(f"[debug] layer {s['layer']}: "
+                          f"absmean={s['absmean']:.6f} std={s['std']:.6f}")
+
+        if schedule.is_store_epoch(epoch):
             name = save_checkpoint(result_dir, epoch, jax.device_get(state))
             log_print(f"checkpoint saved: {name}")
 
-        if pc.ShouldTest():
+        if schedule.is_test_epoch(epoch):
             collect = bool(cfg.io.long_tail_filename)
             feats = features_fn(state.params)
             m_t, rows, time_t = evaluate(state.params, features_fn, metrics_fn,
@@ -222,10 +237,10 @@ def run(cfg: Config) -> MetricsCollection:
                 log_print(f"valid done in {time_v:.2f}s")
                 log_print(m_v.to_string(), put_time_in_single_line=True)
                 all_metrics.add(epoch, m_t, m_v)
-                pc.AddTestTime(time_t + time_v)
+                schedule.record_eval_seconds(time_t + time_v)
             else:
                 all_metrics.add(epoch, m_t)
-                pc.AddTestTime(time_t)
+                schedule.record_eval_seconds(time_t)
 
             if cfg.io.store_metrics:
                 with open(os.path.join(result_dir, fn_metrics), "a",

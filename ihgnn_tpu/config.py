@@ -138,10 +138,15 @@ class MeshConfig:
 class RuntimeConfig:
     dtype: str = "float32"           # compute dtype for features
     param_dtype: str = "float32"
-    use_pallas: bool = True          # fused Pallas hyperedge aggregation
+    # Pallas fused hyperedge kernels; when False the CLI strips the pk_*
+    # packing from the graph so every op takes the XLA fallback path
+    use_pallas: bool = True
     user_history_limit: int = 500    # GlobalSettings.py:93-96
     profile_dir: Optional[str] = None
     multihost: bool = False          # jax.distributed.initialize() at start
+    # per-epoch embedding/layer statistics (Gs.Debug
+    # show_highorder_embedding_info, GlobalSettings.py:98-108)
+    debug_stats: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -229,6 +234,9 @@ def parse_args(argv=None) -> Config:
     p.add_argument("--multihost", action="store_true", default=False,
                    help="call jax.distributed.initialize() at startup")
     p.add_argument("--no_pallas", action="store_true", default=False)
+    p.add_argument("--debug_stats", action="store_true", default=False,
+                   help="print per-epoch embedding/layer statistics "
+                        "(Gs.Debug equivalent)")
     p.add_argument("--no_valid", action="store_true", default=False)
     p.add_argument("--eval_batch_size", type=int, default=256)
     p.add_argument("--profile_dir", type=str, default="")
@@ -270,6 +278,7 @@ def parse_args(argv=None) -> Config:
         use_pallas=not a.no_pallas,
         profile_dir=a.profile_dir or None,
         multihost=a.multihost,
+        debug_stats=a.debug_stats,
     )
     io = IOConfig(
         data_dir=a.dataset,

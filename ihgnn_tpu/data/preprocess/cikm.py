@@ -72,8 +72,10 @@ def step1_cikm(queries_path: str, products_path: str, clicks_path: str,
                 user_ids.add(log.user_id)
                 item_ids.update(log.item_ids)
 
-    queries = list(queries)
-    item_ids = list(item_ids)
+    # sorted: set iteration order is hash-randomized across runs; the
+    # query/item index assignment must be reproducible (amazon.py sorts too)
+    queries = sorted(queries)
+    item_ids = sorted(item_ids)
     item_titles = [raw_item_titles[raw_item_rdict[i]] for i in item_ids]
 
     log_print(f"reading {clicks_path}...")

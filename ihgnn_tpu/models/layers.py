@@ -63,14 +63,18 @@ class GCNLayer(nn.Module):
 class _GatCore(nn.Module):
     """Attention scoring + destination-softmax aggregation over an edge list
     sorted by destination (row-major features — segment softmax over ragged
-    in-degrees). Shared by GATLayer and IHGNN phase-2 attention."""
+    in-degrees). Shared by GATLayer and IHGNN phase-2 attention.
+
+    ``entry_mask`` (float/bool [nnz], optional) excludes padded entries from
+    the attention: unlike GCN, the score is computed purely from features,
+    so a zero-value padding entry would otherwise take real softmax mass."""
 
     out_dim: int
     head: str = V.CONCAT
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, src: jnp.ndarray, dst: jnp.ndarray,
-                 node_count: int) -> jnp.ndarray:
+                 node_count: int, entry_mask=None) -> jnp.ndarray:
         score_in = 2 * self.out_dim if self.head == V.CONCAT else self.out_dim
         score_head = nn.Dense(
             1,
@@ -86,7 +90,13 @@ class _GatCore(nn.Module):
             pair = x_src * x_dst
         scores = leaky_relu(score_head(pair))[:, 0]        # [nnz]
 
+        if entry_mask is not None:
+            # finite sentinel (not -inf): an all-masked segment then yields
+            # uniform weights instead of NaN, killed by the final multiply
+            scores = jnp.where(entry_mask > 0, scores, -1e30)
         w = segment_softmax(scores, dst, node_count, indices_are_sorted=True)
+        if entry_mask is not None:
+            w = w * (entry_mask > 0)
         return segment_sum(x_src * w[:, None], dst, node_count,
                            indices_are_sorted=True)
 
@@ -104,8 +114,11 @@ class GATLayer(nn.Module):
         # and the weighted sum are sorted segment ops
         src = graph.row[graph.dst_order]
         dst = graph.col[graph.dst_order]
-        out = _GatCore(self.out_dim, self.head, name="gat")(x, src, dst,
-                                                            graph.node_count)
+        # val==0 marks mesh-padding entries (parallel/sharding.py
+        # pad_graph2d_for_mesh); real coalesced entries always have val>=1
+        out = _GatCore(self.out_dim, self.head, name="gat")(
+            x, src, dst, graph.node_count,
+            entry_mask=graph.val[graph.dst_order])
         return out.T
 
 
@@ -171,8 +184,11 @@ class IHGNNLayer(nn.Module):
                               name="phase2_transform")(both)
             src = graph.inc_edge + n
             dst = graph.inc_node
+            inc_mask = (None if graph.edge_mask is None
+                        else graph.edge_mask.reshape(-1)[graph.inc_edge])
             out = _GatCore(self.out_dim, self.gat_head,
-                           name="phase2_gat")(both, src, dst, n + e)
+                           name="phase2_gat")(both, src, dst, n + e,
+                                              entry_mask=inc_mask)
             return out[:n].T
 
         # node update: Dv^-1 · H · E (GnnLayers.py:232-234)

@@ -27,10 +27,14 @@ class HemPredictionLayer(nn.Module):
     item_count: int
     lambda_muq: float = 0.5
     use_cosine_similarity: bool = False
+    # RawGnn keeps the torch N(0,1) default (PredictionLayers.py:17-18);
+    # Srrl passes zeros: its init_parameters zeroes every param with 'bias'
+    # in the name (Models/Srrl.py:249-250), which covers items_bias.
+    zero_bias_init: bool = False
 
     def setup(self):
-        # per-item learned bias, N(0,1) init (PredictionLayers.py:17-18)
-        self.items_bias = self.param("items_bias", _normal_init, (self.item_count,))
+        init = nn.initializers.zeros if self.zero_bias_init else _normal_init
+        self.items_bias = self.param("items_bias", init, (self.item_count,))
 
     def _m_uq(self, user_feature: Optional[jnp.ndarray],
               query_feature: jnp.ndarray) -> jnp.ndarray:

@@ -162,11 +162,11 @@ class Srrl(nn.Module):
         self.g_i = SrrlAggregation(d, name="g_i")
 
         if self.prediction == "hem":
+            # zero_bias_init: Srrl's init_parameters zeroes every param with
+            # 'bias' in the name (Models/Srrl.py:249-250), incl. items_bias
             self.prediction_layer = HemPredictionLayer(
                 item_count=self.item_count, lambda_muq=self.cfg.lambda_muq,
-                name="prediction")
-            # Srrl init zeroes the item bias ('bias' in name, Srrl.py:249-250)
-            # — handled by overriding at init time in srrl_loop.init_srrl.
+                zero_bias_init=True, name="prediction")
         else:
             self.ps_mlp_uq = SrrlMLP(2 * d, d, name="ps_mlp_uq")
             self.ps_mlp_ui = SrrlMLP(2 * d, d, name="ps_mlp_ui")

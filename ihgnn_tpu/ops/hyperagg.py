@@ -46,6 +46,18 @@ def use_pallas(graph) -> bool:
             and jax.default_backend() == "tpu")
 
 
+def strip_kernel_packing(graph):
+    """Drop the pk_* packing arrays so every op dispatches to the XLA
+    fallback — the ``--no_pallas`` / RuntimeConfig.use_pallas=False path."""
+    pk_fields = [f for f in ("pk_inc_perm", "pk_inc_edge", "pk_ids2d",
+                             "pk_tile_ptr", "pk_perm_q", "pk_perm_i",
+                             "pk_col", "pk_val")
+                 if getattr(graph, f, None) is not None]
+    if not pk_fields:
+        return graph
+    return graph.replace(**{f: None for f in pk_fields})
+
+
 def _f0(x):
     """float0 cotangent for an integer-dtype primal."""
     return np.zeros(np.shape(x), dtype=jax.dtypes.float0)
@@ -176,6 +188,10 @@ def _spmm_bwd(n_out, res, cot):
     return (grad, _f0(col), jnp.zeros_like(val), _f0(ids2d), _f0(tile_ptr))
 
 
+# ``val`` is treated as graph STRUCTURE, not a learnable weight: its
+# cotangent is defined as zero (it cannot be in nondiff_argnums — those are
+# baked static, and val is a runtime array). If edge values ever become
+# trainable, _spmm_bwd must also return cot·x contractions per entry.
 _spmm_sym_t.defvjp(_spmm_fwd, _spmm_bwd)
 
 

@@ -1,4 +1,4 @@
 from ihgnn_tpu.train.metrics import Metrics, MetricsCollection, ranking_metrics
-from ihgnn_tpu.train.controller import ProcessController
+from ihgnn_tpu.train.controller import EpochSchedule
 
-__all__ = ["Metrics", "MetricsCollection", "ranking_metrics", "ProcessController"]
+__all__ = ["Metrics", "MetricsCollection", "ranking_metrics", "EpochSchedule"]

@@ -1,97 +1,102 @@
-"""Epoch scheduler with remaining-time estimation.
+"""Epoch schedule + wall-clock budget tracking for the training driver.
 
-Parity with Helpers/ProcessController.py: iterate epochs from a
-checkpoint-aware start, fire test/store at (start position, frequency) and
-always at the last epoch; estimate remaining time from the rolling average
-of the last two train/test durations.
+Behavior parity with the reference's epoch scheduler
+(Helpers/ProcessController.py): epochs run from a checkpoint-aware start;
+evaluation fires once ``epoch + 1 - first_epoch`` reaches the test start
+position and then every ``test_every`` epochs (anchored at the start
+position), plus always on the final epoch; checkpoint stores follow the
+same rule with their own start/frequency. The remaining-time estimate uses
+the mean of the last two recorded train/eval durations (one duration if
+only one exists; eval guessed as 2x train before any eval has run), and
+the *expected* number of evals is the reference's fractional
+``1 + (epoch_count - test_start) / test_every`` (kept as a float on
+purpose — schedule parity, Helpers/ProcessController.py:36).
+
+Unlike the reference this is not an iterator with hidden cursor state:
+callers loop over ``schedule.epochs`` and pass the epoch into the
+predicates explicitly.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import math
-from typing import Iterator, List, Optional
+from typing import List, Optional
 
 
-class ProcessController:
-    def __init__(self, epoch_count: int, start_epoch: int, start_test_epoch: int,
-                 test_frequency: int, start_store_epoch: Optional[int] = None,
-                 store_frequency: Optional[int] = None):
-        self.StartEpoch = start_epoch
-        self.EpochCount = epoch_count
-        self.EndEpoch = start_epoch + epoch_count
-        self.CurrentEpoch = start_epoch - 1
-        self._start_test_epoch = start_test_epoch
-        self._test_frequency = test_frequency
-        self._test_count = 1 + (epoch_count - start_test_epoch) / test_frequency
-        self._train_times: List[float] = []
-        self._test_times: List[float] = []
-        if start_store_epoch is None or store_frequency is None:
-            self._start_store_epoch = self._store_frequency = None
-        else:
-            self._start_store_epoch = start_store_epoch
-            self._store_frequency = store_frequency
+def _mean_of_recent(samples: List[float], default: float) -> float:
+    if not samples:
+        return default
+    return sum(samples[-2:]) / len(samples[-2:])
 
-    def __len__(self) -> int:
-        return self.EpochCount
 
-    def __iter__(self) -> Iterator[int]:
-        self.CurrentEpoch = self.StartEpoch - 1
-        return self
+@dataclasses.dataclass
+class EpochSchedule:
+    """Test/store cadence over epochs [first_epoch, first_epoch + epoch_count)."""
 
-    def __next__(self) -> int:
-        self.CurrentEpoch += 1
-        if self.CurrentEpoch == self.EndEpoch:
-            raise StopIteration
-        return self.CurrentEpoch
+    epoch_count: int
+    first_epoch: int
+    test_start: int
+    test_every: int
+    store_start: Optional[int] = None
+    store_every: Optional[int] = None
 
-    def ShouldTest(self) -> bool:
-        epoch = self.CurrentEpoch + 1
-        start = self._start_test_epoch
-        return (epoch - self.StartEpoch >= start) and (
-            (self.CurrentEpoch - start) % self._test_frequency == 0
-            or epoch == self.EndEpoch)
+    def __post_init__(self):
+        self._train_seconds: List[float] = []
+        self._eval_seconds: List[float] = []
 
-    def ShouldStore(self) -> bool:
-        if self._start_store_epoch is None:
+    @property
+    def end_epoch(self) -> int:
+        """One past the last epoch (reference EndEpoch)."""
+        return self.first_epoch + self.epoch_count
+
+    @property
+    def last_epoch(self) -> int:
+        return self.end_epoch - 1
+
+    @property
+    def epochs(self) -> range:
+        return range(self.first_epoch, self.end_epoch)
+
+    def _fires(self, epoch: int, start: int, every: int) -> bool:
+        past_start = epoch + 1 - self.first_epoch >= start
+        on_cadence = (epoch - start) % every == 0
+        return past_start and (on_cadence or epoch == self.last_epoch)
+
+    def is_test_epoch(self, epoch: int) -> bool:
+        return self._fires(epoch, self.test_start, self.test_every)
+
+    def is_store_epoch(self, epoch: int) -> bool:
+        if self.store_start is None or self.store_every is None:
             return False
-        epoch = self.CurrentEpoch + 1
-        start = self._start_store_epoch
-        return (epoch - self.StartEpoch >= start) and (
-            (self.CurrentEpoch - start) % self._store_frequency == 0
-            or epoch == self.EndEpoch)
+        return self._fires(epoch, self.store_start, self.store_every)
 
-    def AddTrainTime(self, t: float) -> None:
-        self._train_times.append(t)
+    # -- wall-clock budget -------------------------------------------------
 
-    def AddTestTime(self, t: float) -> None:
-        self._test_times.append(t)
+    def record_train_seconds(self, seconds: float) -> None:
+        self._train_seconds.append(seconds)
 
-    def GetRemainingTime(self) -> float:
-        if len(self._train_times) >= 2:
-            avg_train = (self._train_times[-1] + self._train_times[-2]) / 2
-        elif len(self._train_times) == 1:
-            avg_train = self._train_times[0]
-        else:
+    def record_eval_seconds(self, seconds: float) -> None:
+        self._eval_seconds.append(seconds)
+
+    def remaining_seconds(self, epoch: int) -> float:
+        """Estimated wall-clock left after finishing ``epoch``'s train pass."""
+        if not self._train_seconds:
             return float("nan")
+        train_avg = _mean_of_recent(self._train_seconds, 0.0)
+        eval_avg = _mean_of_recent(self._eval_seconds, train_avg * 2)
+        evals_expected = 1 + (self.epoch_count - self.test_start) / self.test_every
+        evals_left = evals_expected - len(self._eval_seconds)
+        return (train_avg * (self.end_epoch - epoch)
+                + eval_avg * evals_left)
 
-        if len(self._test_times) >= 2:
-            avg_test = (self._test_times[-1] + self._test_times[-2]) / 2
-        elif len(self._test_times) == 1:
-            avg_test = self._test_times[0]
-        else:
-            avg_test = avg_train * 2
-
-        remain_train = avg_train * (self.EndEpoch - self.CurrentEpoch)
-        remain_test = avg_test * (self._test_count - len(self._test_times))
-        return remain_train + remain_test
-
-    def GetRemainingTimeString(self) -> str:
-        t = self.GetRemainingTime()
-        if math.isnan(t):
+    def remaining_text(self, epoch: int) -> str:
+        seconds = self.remaining_seconds(epoch)
+        if math.isnan(seconds):
             return "n/a"
-        if t >= 3600:
-            h = t // 3600
-            return f"{int(h)} h {int(t / 60 - 60 * h)} m"
-        if t >= 60:
-            return f"{int(t / 60)} m"
-        return f"{int(t)} s"
+        if seconds >= 3600:
+            hours = int(seconds // 3600)
+            return f"{hours} h {int(seconds / 60) - 60 * hours} m"
+        if seconds >= 60:
+            return f"{int(seconds / 60)} m"
+        return f"{int(seconds)} s"

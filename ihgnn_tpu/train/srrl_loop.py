@@ -175,7 +175,7 @@ def run_srrl(cfg: Config, data: GraphData, valid: EvalLogs, test: EvalLogs,
     import os
 
     from ihgnn_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
-    from ihgnn_tpu.train.controller import ProcessController
+    from ihgnn_tpu.train.controller import EpochSchedule
 
     t = cfg.train
     model, state, tx_kg, tx_ps = init_srrl(cfg, data, jax.random.key(t.seed))
@@ -200,7 +200,7 @@ def run_srrl(cfg: Config, data: GraphData, valid: EvalLogs, test: EvalLogs,
                            tx_ps, cfg)
     features_fn, metrics_fn = make_eval_fns_srrl(model, data)
 
-    pc = ProcessController(
+    schedule = EpochSchedule(
         t.epoch_count, epoch_start, t.epoch_start_test, t.epoch_test_frequency,
         t.epoch_count if cfg.io.store_checkpoint else None,
         1000000 if cfg.io.store_checkpoint else None)
@@ -211,7 +211,7 @@ def run_srrl(cfg: Config, data: GraphData, valid: EvalLogs, test: EvalLogs,
                          (1 << 27) // max(data.item_count * 2
                                           * cfg.model.embedding_size, 1)))
 
-    for epoch in pc:
+    for epoch in schedule.epochs:
         t0 = time.time()
         if cfg.model.srrl_kg_loss:
             kg_losses = []
@@ -229,16 +229,16 @@ def run_srrl(cfg: Config, data: GraphData, valid: EvalLogs, test: EvalLogs,
             state, loss = ps_step(state, batch)
             ps_losses.append(loss)
         avg_loss = float(np.mean([float(l) for l in ps_losses]))
-        pc.AddTrainTime(time.time() - t0)
+        schedule.record_train_seconds(time.time() - t0)
         log_print(f"[Epoch PS {epoch}] avg loss {avg_loss:.4f} <-PS "
                   f"in {time.time()-t1:.2f}s "
-                  f"(remaining {pc.GetRemainingTimeString()})")
+                  f"(remaining {schedule.remaining_text(epoch)})")
 
-        if pc.ShouldStore():
+        if schedule.is_store_epoch(epoch):
             name = save_checkpoint(result_dir, epoch, jax.device_get(state))
             log_print(f"checkpoint saved: {name}")
 
-        if pc.ShouldTest():
+        if schedule.is_test_epoch(epoch):
             feats = features_fn(state.params)
             m_t, _, time_t = evaluate(state.params, features_fn, metrics_fn,
                                       test, eval_bs, features=feats)
@@ -249,10 +249,10 @@ def run_srrl(cfg: Config, data: GraphData, valid: EvalLogs, test: EvalLogs,
                                           valid, eval_bs, features=feats)
                 log_print(m_v.to_string(), put_time_in_single_line=True)
                 all_metrics.add(epoch, m_t, m_v)
-                pc.AddTestTime(time_t + time_v)
+                schedule.record_eval_seconds(time_t + time_v)
             else:
                 all_metrics.add(epoch, m_t)
-                pc.AddTestTime(time_t)
+                schedule.record_eval_seconds(time_t)
             if cfg.io.store_metrics:
                 with open(os.path.join(result_dir, fn_metrics), "a",
                           encoding="utf-8") as f:

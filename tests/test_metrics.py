@@ -105,14 +105,33 @@ def test_metrics_collection_best():
     assert epoch == 20 and valid.NDCG_at10 == 0.6 and test.NDCG_at10 == 0.3
 
 
-def test_process_controller_schedule_parity():
+def test_epoch_schedule_parity():
     """Reference worked example (Helpers/ProcessController.py:114-118):
     20 epochs from 5, test-start 7, frequency 2 → tests fire at epochs
     11,13,...,23 and the final epoch 24."""
-    from ihgnn_tpu.train.controller import ProcessController
+    from ihgnn_tpu.train.controller import EpochSchedule
 
-    pc = ProcessController(20, 5, 7, 2)
-    fired = [e for e in pc if pc.ShouldTest()]
+    schedule = EpochSchedule(20, 5, 7, 2)
+    fired = [e for e in schedule.epochs if schedule.is_test_epoch(e)]
     assert fired[0] == 11      # first epoch where e - start >= start_test
     assert all(b - a == 2 for a, b in zip(fired, fired[1:-1]))
     assert fired[-1] == 24     # always fires at the last epoch
+
+
+def test_epoch_schedule_store_and_remaining_time():
+    from ihgnn_tpu.train.controller import EpochSchedule
+
+    # store only at the final epoch (the driver's default store schedule)
+    s = EpochSchedule(10, 1, 3, 2, store_start=10, store_every=1000000)
+    stored = [e for e in s.epochs if s.is_store_epoch(e)]
+    assert stored == [10]
+
+    assert s.remaining_text(1) == "n/a"
+    s.record_train_seconds(10.0)
+    s.record_train_seconds(20.0)
+    # avg train 15s, no evals yet -> eval guessed at 30s;
+    # expected evals = 1 + (10 - 3) / 2 = 4.5
+    approx = s.remaining_seconds(2)
+    assert abs(approx - (15.0 * 9 + 30.0 * 4.5)) < 1e-6
+    s.record_eval_seconds(60.0)
+    assert s.remaining_seconds(2) == 15.0 * 9 + 60.0 * 3.5

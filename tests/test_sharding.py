@@ -77,6 +77,55 @@ def test_sharded_step_matches_single_device():
                                    rtol=5e-4, atol=5e-4)
 
 
+def _loss_for(model_cfg: ModelConfig, make_graph, seed=5):
+    """One train-step loss for a model config over make_graph(data)."""
+    cfg = Config(model=model_cfg,
+                 train=TrainConfig(batch_size=16, random_negative_sample_size=4))
+    data = make_synthetic_data(user_count=9, query_count=7, item_count=13,
+                               vocab_size=11, log_count=80, seed=seed)
+    graph = make_graph(data)
+    model = RawGnn(cfg=cfg.model, user_count=data.user_count,
+                   query_count=data.query_count, item_count=data.item_count,
+                   vocab_size=data.vocab_size)
+    tx = make_optimizer(cfg)
+    state = init_state(model, jax.random.key(0), graph, data.query_words,
+                       data.query_word_counts, cfg, tx)
+    batch = next(TrainSampler(data, 16, 4, seed=2, row_multiple=4).epoch())
+    step = make_train_step(model, graph, data.query_words,
+                           data.query_word_counts, tx)
+    _, loss = step(state, batch)
+    return float(loss)
+
+
+def test_padded_gat_matches_unpadded_loss():
+    """Mesh padding adds zero-val COO entries; GAT attention must exclude
+    them (scores come from features, not values) — advisor finding r1."""
+    from ihgnn_tpu.config import V
+    from ihgnn_tpu.parallel.sharding import pad_graph2d_for_mesh
+
+    mc = ModelConfig(gnn=V.GAT, embedding_size=8, gnn_layer_count=2)
+    loss_plain = _loss_for(mc, lambda d: d.graph2d)
+    data_probe = make_synthetic_data(user_count=9, query_count=7, item_count=13,
+                                     vocab_size=11, log_count=80, seed=5)
+    # pick a pad target that actually pads
+    pad_to = data_probe.graph2d.nnz + 3
+    loss_padded = _loss_for(mc, lambda d: pad_graph2d_for_mesh(d.graph2d, pad_to))
+    assert loss_padded == pytest.approx(loss_plain, rel=1e-5)
+
+
+def test_padded_phase2_matches_unpadded_loss():
+    """Phase-2 attention over the bipartite incidence graph must exclude
+    padded hyperedges' incidence entries from the softmax."""
+    mc = ModelConfig(embedding_size=8, gnn_layer_count=2, phase2_attention=True)
+    loss_plain = _loss_for(mc, lambda d: d.hypergraph)
+    data_probe = make_synthetic_data(user_count=9, query_count=7, item_count=13,
+                                     vocab_size=11, log_count=80, seed=5)
+    pad_to = data_probe.hypergraph.edge_count + 5
+    loss_padded = _loss_for(
+        mc, lambda d: pad_hypergraph_for_mesh(d.hypergraph, pad_to))
+    assert loss_padded == pytest.approx(loss_plain, rel=1e-5)
+
+
 def test_mesh_shapes():
     mesh = make_mesh(MeshConfig(data=2, model=4))
     assert mesh.shape == {"data": 2, "model": 4}
