@@ -145,6 +145,55 @@ def benes_route(perm: np.ndarray, s: int
     return p0, p1, p2
 
 
+def benes_route_rect(perm: np.ndarray, rows: int, cols: int
+                     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Rectangular generalization: factor ``out[j] = in[perm[j]]`` over
+    E = rows*cols elements (viewed as an [rows, cols] row-major grid) into
+
+      stage0: a0[r, c]  = in[r, p0[r, c]]      (p0: [rows, cols])
+      T:      t0[k, r]  = a0[r, k]
+      stage1: a1[k, r]  = t0[k, p1[k, r]]      (p1: [cols, rows])
+      T:      t1[r, k]  = a1[k, r]
+      stage2: out[r, c] = t1[r, p2[r, c]]      (p2: [rows, cols])
+
+    cols must be a power of two (Euler-split coloring); rows is arbitrary.
+    Pure-NumPy oracle for the native csrc/routing.cc implementation.
+    """
+    e_count = rows * cols
+    perm = np.asarray(perm, np.int64)
+    assert perm.shape == (e_count,)
+
+    j = np.arange(e_count)
+    out_row, out_col = j // cols, j % cols
+    in_row, in_col = perm // cols, perm % cols
+
+    # demand multigraph (input row -> output row) is cols-regular bipartite
+    color = edge_color_regular_bipartite(in_row, out_row, cols, rows)
+
+    p0 = np.empty((rows, cols), np.int64)
+    p0[in_row, color] = in_col
+    p1 = np.empty((cols, rows), np.int64)
+    p1[color, out_row] = in_row
+    p2 = np.empty((rows, cols), np.int64)
+    p2[out_row, out_col] = color
+    return p0, p1, p2
+
+
+def apply_benes_rect(x: np.ndarray, p0: np.ndarray, p1: np.ndarray,
+                     p2: np.ndarray) -> np.ndarray:
+    """Reference execution of the rectangular factored permutation.
+    x: [E, ...] rows; returns x[perm]."""
+    rows, cols = p0.shape
+    extra = ([1] * (x.ndim - 1))
+    grid = x.reshape(rows, cols, *x.shape[1:])
+    a0 = np.take_along_axis(grid, p0.reshape(rows, cols, *extra), axis=1)
+    t0 = np.swapaxes(a0, 0, 1)
+    a1 = np.take_along_axis(t0, p1.reshape(cols, rows, *extra), axis=1)
+    t1 = np.swapaxes(a1, 0, 1)
+    out = np.take_along_axis(t1, p2.reshape(rows, cols, *extra), axis=1)
+    return out.reshape(x.shape)
+
+
 def apply_benes(x: np.ndarray, p0: np.ndarray, p1: np.ndarray,
                 p2: np.ndarray) -> np.ndarray:
     """Reference execution of the factored permutation (for tests / the

@@ -1,102 +1,167 @@
-"""Pallas stage kernels for Beneš-routed static permutations (prototype).
+"""Pallas stage kernels for Clos/Beneš-routed static permutations.
 
 Executes ``out = x[:, perm]`` for feature-major [d, E] arrays via the
-three-stage Clos factorization from ops/benes.py:
+rectangular three-stage factorization from ops/benes.py / csrc/routing.cc
+(E = R*C viewed as an [R, C] row-major grid):
 
-  row_local_permute  — out[:, r, c] = x[:, r, p[r, c]]; one [d, S]·[S, S]
-                       one-hot MXU matmul per row block (no gathers).
-  block_transpose    — out[:, a, b] = x[:, b, a]; tiled [T, T] transposes.
+  row_local_permute — out[:, r, c] = x[:, r, p[r, c]]; per (row, 128-col
+                      output chunk) one-hot MXU matmul — no gathers, no
+                      data-dependent addressing.
+  block_transpose   — out[:, a, b] = x[:, b, a]; tiled [T, T] transposes
+                      (rectangular grids supported).
 
-Status: correctness-complete prototype (round-2 integration pending);
-benchmarked standalone against XLA's direct gather.
+Together: 5 array passes (3 local + 2 transpose) at near-HBM bandwidth,
+replacing XLA's serial gather lowering (~60 ms per 2M-column gather on
+v5e). This is the TPU-native counterpart of the reference's reliance on
+CUDA gather/scatter inside torch_sparse (Models/GnnLayers.py:233).
+
+Shape contract (set by pick_grid): C a multiple of 128 (output chunking +
+transpose tiles), R a multiple of 128 (transpose tiles; also covers the
+sublane blocking of the middle stage, which runs row-locally on the
+transposed [C, R] grid).
 """
 
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+ROWS = 8          # rows per program (f32 sublane tile)
+CHUNK = 128       # output columns per one-hot matmul (MXU lane width)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def pick_grid(e: int, c: int = 1024) -> Tuple[int, int]:
+    """[R, C] grid for an E-element permutation: C a power of two (Euler
+    coloring), R a multiple of 128 (transpose tiling). E pads to R*C."""
+    c = min(c, max(128, 1 << (e.bit_length() // 2)))
+    r = _round_up(-(-e // c), 128)
+    return r, c
+
+
+def _local_permute_kernel(x_ref, p_ref, o_ref):
+    """Block [d, ROWS, C] + perms [ROWS, C] → permuted block.
+
+    One one-hot matmul per (row, CHUNK output columns): onehot[cc, k] =
+    (p[r, j*CHUNK + k] == cc), out_chunk = x_row · onehot. Two-pass bf16
+    hi/lo value split keeps ~f32 accuracy at 2 MXU passes (CLAUDE.md)."""
+    d, rows, c = x_ref.shape
+    for r in range(rows):
+        x = x_ref[:, r, :]                       # [d, C]
+        xhi = x.astype(jnp.bfloat16)
+        xlo = (x - xhi.astype(jnp.float32)).astype(jnp.bfloat16)
+        for j in range(c // CHUNK):
+            p = p_ref[r, j * CHUNK:(j + 1) * CHUNK].reshape(1, CHUNK)
+            onehot = (jax.lax.broadcasted_iota(jnp.int32, (c, CHUNK), 0)
+                      == p).astype(jnp.bfloat16)
+            acc = jnp.dot(xhi, onehot, preferred_element_type=jnp.float32)
+            acc += jnp.dot(xlo, onehot, preferred_element_type=jnp.float32)
+            o_ref[:, r, j * CHUNK:(j + 1) * CHUNK] = acc
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def row_local_permute(x: jnp.ndarray, p: jnp.ndarray,
                       interpret: bool = False) -> jnp.ndarray:
-    """x: [d, S, S]; p: [S, S] int32 row permutations → [d, S, S] with
-    out[:, r, c] = x[:, r, p[r, c]]."""
-    d, s, s2 = x.shape
-    assert s == s2 and p.shape == (s, s)
-    rows = min(8, s)           # Mosaic block constraint: sublane dim >= 8
-    assert s % rows == 0
+    """x: [d, R, C]; p: [R, C] int32 → out[:, r, c] = x[:, r, p[r, c]]."""
+    d, r, c = x.shape
+    assert p.shape == (r, c), (p.shape, x.shape)
+    rows = min(ROWS, r)
+    assert r % rows == 0 and c % CHUNK == 0, (r, c)
     return pl.pallas_call(
-        _permute_kernel3,
-        grid=(s // rows,),
+        _local_permute_kernel,
+        grid=(r // rows,),
         in_specs=[
-            pl.BlockSpec((d, rows, s), lambda r: (0, r, 0),
+            pl.BlockSpec((d, rows, c), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows, s), lambda r: (r, 0),
+            pl.BlockSpec((rows, c), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((d, rows, s), lambda r: (0, r, 0),
+        out_specs=pl.BlockSpec((d, rows, c), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((d, s, s), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((d, r, c), jnp.float32),
         interpret=interpret,
     )(x, p)
 
 
-def _permute_kernel3(x_ref, p_ref, o_ref):
-    # blocks arrive as [d, rows, S]: one one-hot matmul per grid row
-    rows, s = p_ref.shape
-    for j in range(rows):
-        p = p_ref[j, :].reshape(1, s)
-        onehot = (jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
-                  == p).astype(jnp.bfloat16)
-        x = x_ref[:, j, :]
-        xhi = x.astype(jnp.bfloat16)
-        xlo = (x - xhi.astype(jnp.float32)).astype(jnp.bfloat16)
-        acc = jnp.dot(xhi, onehot, preferred_element_type=jnp.float32)
-        acc += jnp.dot(xlo, onehot, preferred_element_type=jnp.float32)
-        o_ref[:, j, :] = acc
-
-
 def _transpose_kernel(x_ref, o_ref):
-    # x block: [d, T, T] at (i, j); out block at (j, i) = swap of minor dims
+    # in block [d, T, T] from grid (i, j) reads (j, i); swap of minor dims
     o_ref[...] = jnp.swapaxes(x_ref[...], 1, 2)
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "interpret"))
 def block_transpose(x: jnp.ndarray, tile: int = 128,
                     interpret: bool = False) -> jnp.ndarray:
-    """x: [d, S, S] → out[:, a, b] = x[:, b, a] via [tile, tile] tiles."""
-    d, s, s2 = x.shape
-    assert s == s2 and s % tile == 0
-    nt = s // tile
+    """x: [d, R, C] → [d, C, R] (out[:, a, b] = x[:, b, a])."""
+    d, r, c = x.shape
+    assert r % tile == 0 and c % tile == 0, (r, c, tile)
     return pl.pallas_call(
         _transpose_kernel,
-        grid=(nt, nt),
+        grid=(c // tile, r // tile),
         in_specs=[pl.BlockSpec((d, tile, tile), lambda i, j: (0, j, i),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((d, tile, tile), lambda i, j: (0, i, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((d, s, s), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((d, c, r), jnp.float32),
         interpret=interpret,
     )(x)
 
 
-def benes_permute(x: jnp.ndarray, p0: jnp.ndarray, p1: jnp.ndarray,
-                  p2: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
-    """Full factored permutation of feature-major x [d, E] (E = S*S):
-    equals x[:, perm] for the routed perm (ops/benes.py)."""
-    d, e = x.shape
-    s = p0.shape[0]
-    assert e == s * s
-    tile = min(128, s)
-    g = x.reshape(d, s, s)
-    a0 = row_local_permute(g, p0, interpret=interpret)
-    t0 = block_transpose(a0, tile=tile, interpret=interpret)
-    a1 = row_local_permute(t0, p1, interpret=interpret)
-    t1 = block_transpose(a1, tile=tile, interpret=interpret)
-    out = row_local_permute(t1, p2, interpret=interpret)
-    return out.reshape(d, e)
+class PermutePlan(NamedTuple):
+    """Host-routed stage tables for one static permutation (int32 device
+    arrays once packed; see graph.py). ``rows``/``cols`` define the grid;
+    the permuted length E may be shorter (the tail is padding)."""
+    p0: jnp.ndarray   # [R, C]
+    p1: jnp.ndarray   # [C, R]
+    p2: jnp.ndarray   # [R, C]
+
+    @property
+    def rows(self) -> int:
+        return self.p0.shape[0]
+
+    @property
+    def cols(self) -> int:
+        return self.p0.shape[1]
+
+
+def make_plan(perm: np.ndarray, c: int = 1024) -> PermutePlan:
+    """Route ``out[j] = in[perm[j]]`` (arbitrary [E] permutation) into a
+    PermutePlan. Pads E to R*C with identity tail (padding positions map to
+    themselves, so padded input columns pass through)."""
+    perm = np.asarray(perm, np.int64)
+    e = perm.shape[0]
+    r, c = pick_grid(e, c)
+    full = np.concatenate([perm, np.arange(e, r * c, dtype=np.int64)])
+
+    from ihgnn_tpu.ops import native
+    routed = native.benes_route(full, r, c)
+    if routed is None:                      # no toolchain: NumPy fallback
+        from ihgnn_tpu.ops.benes import benes_route_rect
+        routed = benes_route_rect(full, r, c)
+    p0, p1, p2 = (np.asarray(p, np.int32) for p in routed)
+    return PermutePlan(p0=jnp.asarray(p0), p1=jnp.asarray(p1),
+                       p2=jnp.asarray(p2))
+
+
+def benes_permute(x: jnp.ndarray, plan: PermutePlan,
+                  interpret: bool = False) -> jnp.ndarray:
+    """Apply a routed permutation to feature-major x [d, E_pad] where
+    E_pad = plan.rows * plan.cols. Returns x[:, perm_padded]."""
+    d, e_pad = x.shape
+    r, c = plan.rows, plan.cols
+    assert e_pad == r * c, (e_pad, r, c)
+    g = x.reshape(d, r, c)
+    a0 = row_local_permute(g, plan.p0, interpret=interpret)
+    t0 = block_transpose(a0, interpret=interpret)          # [d, c, r]
+    a1 = row_local_permute(t0, plan.p1, interpret=interpret)
+    t1 = block_transpose(a1, interpret=interpret)          # [d, r, c]
+    out = row_local_permute(t1, plan.p2, interpret=interpret)
+    return out.reshape(d, e_pad)

@@ -43,6 +43,35 @@ def test_benes_route_reproduces_permutation(s):
     np.testing.assert_array_equal(apply_benes(x, p0, p1, p2), x[perm])
 
 
+@pytest.mark.parametrize("rows,cols", [(8, 4), (24, 32), (128, 16)])
+def test_benes_route_rect(rows, cols):
+    from ihgnn_tpu.ops.benes import apply_benes_rect, benes_route_rect
+
+    rng = np.random.default_rng(rows * cols)
+    perm = rng.permutation(rows * cols)
+    p0, p1, p2 = benes_route_rect(perm, rows, cols)
+    x = rng.standard_normal((rows * cols, 2)).astype(np.float32)
+    np.testing.assert_array_equal(apply_benes_rect(x, p0, p1, p2), x[perm])
+
+
+def test_native_routing_matches_numpy_oracle():
+    """csrc/routing.cc against the NumPy implementation (both must invert
+    the permutation; stage tables may legitimately differ)."""
+    from ihgnn_tpu.ops import native
+    from ihgnn_tpu.ops.benes import apply_benes_rect
+
+    if native.load() is None:
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(7)
+    rows, cols = 48, 64
+    perm = rng.permutation(rows * cols)
+    p0, p1, p2 = native.benes_route(perm, rows, cols)
+    for p, row_len in ((p0, cols), (p1, rows), (p2, cols)):
+        assert np.all(np.sort(p, axis=1) == np.arange(row_len))
+    x = rng.standard_normal((rows * cols, 3)).astype(np.float32)
+    np.testing.assert_array_equal(apply_benes_rect(x, p0, p1, p2), x[perm])
+
+
 def test_benes_route_identity_and_reverse():
     s = 16
     e = s * s

@@ -1,0 +1,237 @@
+"""On-chip kernel regression check — run on the real TPU, one process, to
+natural completion (CLAUDE.md: never probe the TPU with short timeouts).
+
+For each Pallas kernel: compile non-interpreted, compare against the XLA
+reference formulation, and time it with the scalar-fetch discipline (the
+axon transport's block_until_ready can return early; every timing boundary
+forces a float() fetch, and iterations are chained through a scalar so XLA
+cannot elide or overlap them).
+
+Writes KERNEL_CHECK.json at the repo root:
+  {"platform": ..., "results": [{"op", "ms", "ok", "max_err", ...}]}
+
+Usage: python tools/kernel_check.py [--edges 2000000] [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def timed(fn, x, iters):
+    """ms per call of jitted fn(x, s_scalar) -> (y, s'), chained via s."""
+    import jax
+    import jax.numpy as jnp
+
+    s = jnp.zeros((), jnp.float32)
+    y, s = fn(x, s)                     # compile + first run
+    _ = float(s)
+    t0 = time.time()
+    for _ in range(iters):
+        y, s = fn(x, s)
+    _ = float(s)                        # chained scalar syncs the whole run
+    return (time.time() - t0) / iters * 1e3, y
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--edges", type=int, default=2_000_000)
+    ap.add_argument("--users", type=int, default=200_000)
+    ap.add_argument("--queries", type=int, default=100_000)
+    ap.add_argument("--items", type=int, default=400_000)
+    ap.add_argument("--emb", type=int, default=32)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--quick", action="store_true",
+                    help="small shapes (CPU smoke test)")
+    ap.add_argument("--out", default="KERNEL_CHECK.json")
+    args = ap.parse_args()
+    if args.quick:
+        args.edges, args.users, args.queries, args.items = 20_000, 2_000, 1_000, 4_000
+        args.iters = 2
+
+    import jax
+    import jax.numpy as jnp
+
+    from ihgnn_tpu.graph import build_hypergraph
+    from ihgnn_tpu.ops.pallas.gather import expand_pack, windowed_gather
+    from ihgnn_tpu.ops.pallas.permute import (benes_permute, block_transpose,
+                                              make_plan, row_local_permute)
+    from ihgnn_tpu.ops.pallas.segsum import (csr_segment_sum_t,
+                                             prepare_segment_inputs)
+
+    platform = jax.default_backend()
+    interp = platform != "tpu"   # pallas compiles only on TPU
+    d, e = args.emb, args.edges
+    n = args.users + args.queries + args.items
+    results = []
+    rng = np.random.default_rng(0)
+
+    def report(op, ms, ok, max_err, **kw):
+        row = {"op": op, "ms": round(ms, 3), "ok": bool(ok),
+               "max_err": float(max_err), **kw}
+        results.append(row)
+        print(json.dumps(row))
+
+    # ---- graph-shaped data ----
+    uqif = np.stack([rng.integers(0, args.users, e),
+                     rng.integers(0, args.queries, e),
+                     rng.integers(0, args.items, e),
+                     np.ones(e, np.int64)], axis=1)
+    graph = build_hypergraph(uqif, n, args.users, args.queries)
+    x_np = rng.standard_normal((d, n)).astype(np.float32) * 0.1
+
+    # ---- 1. CSR segment-sum (scatter side), 3E entries ----
+    vals_np = rng.standard_normal((3 * e,)).astype(np.float32) * 0.1
+    vals_col = jnp.asarray(vals_np[:, None])
+    vals_pad, ids2d, tile_ptr = prepare_segment_inputs(
+        vals_col, np.asarray(graph.inc_node), n)
+    k_pad = vals_pad.shape[0]
+    vt = jnp.tile(jnp.asarray(vals_pad).T, (d, 1))      # [d, K_pad]
+    vt = jax.device_put(vt)
+
+    @jax.jit
+    def seg_fn(v, s):
+        out = csr_segment_sum_t(v + s * 0, ids2d, tile_ptr, n,
+                                out_transposed=True, interpret=interp)
+        return out, jnp.sum(out[:, :8])
+
+    ms, out = timed(seg_fn, vt, args.iters)
+    ref = np.zeros((n,), np.float64)
+    np.add.at(ref, np.asarray(graph.inc_node), vals_np.astype(np.float64))
+    err = np.abs(np.asarray(out[0]) - ref).max()
+    scale = max(np.abs(ref).max(), 1.0)
+    report("pallas_segsum_3E", ms, err / scale < 1e-4, err,
+           entries=int(k_pad), gbps=round(k_pad * d * 4 / ms / 1e6, 1))
+
+    # XLA baseline
+    inc_node = jax.device_put(jnp.asarray(graph.inc_node))
+    ev = jax.device_put(jnp.asarray(np.tile(vals_np[None, :], (d, 1))))
+
+    @jax.jit
+    def seg_xla(v, s):
+        out = jax.ops.segment_sum((v + s * 0).T, inc_node, num_segments=n,
+                                  indices_are_sorted=True)
+        return out, jnp.sum(out[:8])
+
+    ms_x, out_x = timed(seg_xla, ev, max(2, args.iters // 5))
+    err_x = np.abs(np.asarray(out_x[:, 0]) - ref).max()
+    report("xla_segsum_3E", ms_x, err_x / scale < 1e-4, err_x)
+
+    # ---- 2. windowed gather (banded expand) of the i-role ----
+    i_sorted = np.sort(graph.i3[:, 2])
+    pack, k_exp = expand_pack(i_sorted, c=1024)
+    src = np.zeros((d, pack.src_pad), np.float32)
+    src[:, :n] = x_np[:, :min(n, pack.src_pad)]
+    src_j = jax.device_put(jnp.asarray(src))
+
+    @jax.jit
+    def wg_fn(x, s):
+        out = windowed_gather(x + s * 0, pack.idx_rel, pack.win, pack.w,
+                              interpret=interp)
+        return out, jnp.sum(out[:, :8])
+
+    ms, out = timed(wg_fn, src_j, args.iters)
+    ids_pad = np.concatenate([i_sorted,
+                              np.full(k_exp - e, i_sorted[-1])])
+    ref_g = src[:, ids_pad]
+    err = np.abs(np.asarray(out) - ref_g).max()
+    report("pallas_windowed_expand_E", ms, err < 1e-3, err,
+           w=pack.w, entries=int(k_exp))
+
+    # XLA gather baselines: sorted expand + random gather
+    ids_j = jax.device_put(jnp.asarray(ids_pad.astype(np.int32)))
+    rand_ids = jax.device_put(jnp.asarray(
+        rng.integers(0, n, e).astype(np.int32)))
+
+    @jax.jit
+    def gather_xla(x, s):
+        out = (x + s * 0)[:, ids_j]
+        return out, jnp.sum(out[:, :8])
+
+    @jax.jit
+    def gather_xla_rand(x, s):
+        out = (x + s * 0)[:, rand_ids]
+        return out, jnp.sum(out[:, :8])
+
+    x_j = jax.device_put(jnp.asarray(x_np))
+    ms_x, _ = timed(gather_xla, src_j, max(2, args.iters // 2))
+    report("xla_gather_sorted_E", ms_x, True, 0.0)
+    ms_x, _ = timed(gather_xla_rand, x_j, max(2, args.iters // 2))
+    report("xla_gather_random_E", ms_x, True, 0.0)
+
+    # ---- 3. Beneš permutation of [d, E] edge features ----
+    perm = np.asarray(graph.pk_perm_q, np.int64)   # a real role bijection
+    t0 = time.time()
+    plan = make_plan(perm, c=1024)
+    route_s = time.time() - t0
+    e_pad = plan.rows * plan.cols
+    ef_np = rng.standard_normal((d, e_pad)).astype(np.float32) * 0.1
+    ef = jax.device_put(jnp.asarray(ef_np))
+
+    @jax.jit
+    def benes_fn(x, s):
+        out = benes_permute(x + s * 0, plan, interpret=interp)
+        return out, jnp.sum(out[:, :8])
+
+    ms, out = timed(benes_fn, ef, args.iters)
+    perm_pad = np.concatenate([perm, np.arange(e, e_pad)])
+    ref_p = ef_np[:, perm_pad]
+    err = np.abs(np.asarray(out) - ref_p).max()
+    report("pallas_benes_permute_E", ms, err < 1e-3, err,
+           rows=plan.rows, cols=plan.cols, route_s=round(route_s, 2))
+
+    # stage kernels individually
+    g = ef.reshape(d, plan.rows, plan.cols)
+
+    @jax.jit
+    def stage0_fn(x, s):
+        out = row_local_permute(x + s * 0, plan.p0, interpret=interp)
+        return out, jnp.sum(out[:, 0, :8])
+
+    ms, _ = timed(stage0_fn, g, args.iters)
+    report("pallas_local_permute_stage", ms, True, 0.0)
+
+    @jax.jit
+    def transpose_fn(x, s):
+        out = block_transpose(x + s * 0, interpret=interp)
+        return out, jnp.sum(out[:, 0, :8])
+
+    ms, _ = timed(transpose_fn, g, args.iters)
+    report("pallas_block_transpose", ms, True, 0.0)
+
+    # XLA take as permutation baseline
+    perm_j = jax.device_put(jnp.asarray(perm_pad.astype(np.int32)))
+
+    @jax.jit
+    def take_xla(x, s):
+        out = (x + s * 0)[:, perm_j]
+        return out, jnp.sum(out[:, :8])
+
+    ms_x, _ = timed(take_xla, ef, max(2, args.iters // 2))
+    report("xla_permute_take_E", ms_x, True, 0.0)
+
+    # ---- 4. copy calibration (the +s*0 dependency pass) ----
+    @jax.jit
+    def copy_fn(x, s):
+        out = x + s * 0
+        return out, jnp.sum(out[:, :8])
+
+    ms_c, _ = timed(copy_fn, ef, args.iters)
+    report("copy_calibration_E", ms_c, True, 0.0)
+
+    with open(args.out, "w", encoding="utf-8") as f:
+        json.dump({"platform": platform, "d": d, "edges": e,
+                   "results": results}, f, indent=1)
+    print(f"# wrote {args.out} ({platform})")
+
+
+if __name__ == "__main__":
+    main()
