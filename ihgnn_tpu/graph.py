@@ -45,18 +45,10 @@ class HyperGraph:
     # [E, 1] f32 zero/one mask over edges, or None when all edges are real;
     # used when the edge axis is padded for even sharding
     edge_mask: object = None
-    # Pallas kernel packing (ops/pallas/segsum.py); None when not packed.
-    # All are keyed by node-major incidence position k, padded to a DMA
-    # block multiple (padding gathers row 0, masked out by pk_tile_ptr).
-    pk_inc_perm: object = None   # [K_pad] int32 — flat edge-major pos 3e+r
-    pk_inc_edge: object = None   # [K_pad] int32 — edge id e
-    pk_ids2d: object = None      # [K_pad/128, 128] int32 — sorted node ids
-    pk_tile_ptr: object = None   # [T+1] int32 — node-tile entry offsets
-    # Edges are numbered in user-sorted order, so the node-major incidence
-    # is [u-region | q-region | i-region] with the u-region expansion being
-    # the identity; these bijections give the q/i region edge orders.
-    pk_perm_q: object = None     # [E] int32 — q-rank j -> edge id
-    pk_perm_i: object = None     # [E] int32 — i-rank j -> edge id
+    # Pallas kernel pack (ops/packing.HyperKernelPack): windowed role
+    # expansions, Clos permutation stages, and the node-major CSR
+    # segment-sum operands. None → XLA fallback ops.
+    kp: object = None
     node_count: int = struct.field(pytree_node=False, default=0)
     edge_count: int = struct.field(pytree_node=False, default=0)
 
@@ -105,7 +97,7 @@ def _global_ids(u: np.ndarray, q: np.ndarray, i: np.ndarray,
 
 
 def build_hypergraph(uqi: np.ndarray, node_count: int, user_count: int,
-                     query_count: int) -> HyperGraph:
+                     query_count: int, pack_kernels: bool = True) -> HyperGraph:
     """Pack positive interactions [P, >=3] of (u, q, i[, flag]) columns into a
     ``HyperGraph``. Interactions with flag<=0 must be filtered by the caller
     (the dataset layer only materializes positives)."""
@@ -114,7 +106,9 @@ def build_hypergraph(uqi: np.ndarray, node_count: int, user_count: int,
     e_count = len(u)
 
     # number edges in user-sorted order: the u-region of the node-major
-    # incidence then expands edge features with the identity (no gather)
+    # incidence is then the identity expansion, and the node-major entry
+    # order is exactly [u-region | q-rank order | i-rank order] (node ids
+    # are grouped [users | queries | items])
     edge_order = np.argsort(u, kind="stable")
     u, q, i = u[edge_order], q[edge_order], i[edge_order]
 
@@ -129,39 +123,17 @@ def build_hypergraph(uqi: np.ndarray, node_count: int, user_count: int,
     order = np.argsort(flat_nodes, kind="stable")
     sorted_nodes = flat_nodes[order].astype(np.int32)
 
-    # Pallas kernel packing: pad incidence to a DMA-block multiple
-    from ihgnn_tpu.ops.pallas.segsum import BLOCK, pack_csr_tiles
-    k = len(order)
-    k_pad = -(-max(k, 1) // BLOCK) * BLOCK
-    pad = k_pad - k
-    ids_pad = np.concatenate([sorted_nodes,
-                              np.full(pad, 2**31 - 1, np.int32)])
-    tile_ptr, _ = pack_csr_tiles(sorted_nodes, node_count)
-    inc_perm = np.concatenate([order, np.zeros(pad, np.int64)]).astype(np.int32)
-    inc_edge_pad = np.concatenate([flat_edges[order],
-                                   np.zeros(pad, np.int64)]).astype(np.int32)
-
-    # region bijections (edges already u-sorted: region u is the identity)
-    perm_q = np.argsort(q, kind="stable").astype(np.int32)
-    perm_i = np.argsort(i, kind="stable").astype(np.int32)
-    if e_count:
-        assert np.array_equal(inc_edge_pad[:e_count],
-                              np.arange(e_count, dtype=np.int32)), \
-            "u-region must be the identity expansion"
-        assert np.array_equal(inc_edge_pad[e_count:2 * e_count], perm_q)
-        assert np.array_equal(inc_edge_pad[2 * e_count:3 * e_count], perm_i)
+    kp = None
+    if pack_kernels and e_count:
+        from ihgnn_tpu.ops.packing import build_hyper_kernel_pack
+        kp = build_hyper_kernel_pack(i3, sorted_nodes, node_count)
 
     return HyperGraph(
         i3=i3,
         dv=dv.reshape(-1, 1),
         inc_node=sorted_nodes,
         inc_edge=flat_edges[order].astype(np.int32),
-        pk_inc_perm=inc_perm,
-        pk_inc_edge=inc_edge_pad,
-        pk_ids2d=ids_pad.reshape(-1, 128),
-        pk_tile_ptr=tile_ptr,
-        pk_perm_q=perm_q,
-        pk_perm_i=perm_i,
+        kp=kp,
         node_count=int(node_count),
         edge_count=int(e_count),
     )

@@ -3,28 +3,38 @@
 All APIs are **feature-major** ([d, N] node features, [d, E] edge
 features): on TPU, arrays with a narrow (32-wide) minor dimension are
 lane-padded to 128 — 4-5x wasted HBM and bandwidth — so the big N/E axis
-must be the minor axis. The Pallas segment-sum kernel natively consumes and
-produces this layout.
+must be the minor axis.
 
-Primitives (SURVEY.md §2.3 kernel contract):
+Primitives (SURVEY.md §2.3 kernel contract; the reference runs these
+inside torch_sparse/dgl CUDA kernels, /root/reference/Models/GnnLayers.py:233):
 
-* ``gather_roles_t(x_t)``     — [d, N] → [d, 3E] endpoint features in
-  role-major order ([u-cols | q-cols | i-cols]). Backward: sorted CSR
-  segment-sum over the node-major incidence (Pallas).
-* ``scatter_incidence_t(e_t)``— H·E: [d, E] → [d, N]. Backward: sum of the
-  three role gathers of the cotangent.
+* ``gather_roles_t(x_t)``     — [d, N] → [d, 3·E_pad] endpoint features,
+  role-major regions [u | q | i], each region in edge order.
+* ``scatter_incidence_t(e_t)``— H·E: [d, E_pad] → [d, N].
 * ``spmm_t(x_t)``             — symmetric 2D-adjacency SpMM [d, N] → [d, N].
 
-Edges are numbered user-sorted (graph.py), so the node-major expansion
-feeding the kernel is [identity | perm_q | perm_i] — 2E gathered columns
-instead of 3E. Index arrays pass through the custom-vjp functions as
-explicit arguments (float0 cotangents): closed-over traced arrays leak out
-of ``jax.checkpoint``'s inner trace under remat, and baked-in numpy
-constants overflow compile payload limits at stress scale.
+Fast path (graph.kp — ops/packing.HyperKernelPack): every sparse access is
+a composition of three static-layout Pallas kernels —
 
-Dispatch: Pallas when the graph carries packing arrays and the backend is
-TPU; otherwise XLA segment ops (CPU tests, GSPMD-sharded meshes,
-log-hypergraphs).
+  windowed one-hot gather  (ops/pallas/gather.py)   role-sorted expansion,
+                                                    fused with Clos stage 0
+  Clos permutation stages  (ops/pallas/permute.py)  role-rank ↔ edge order
+  CSR segment-sum          (ops/pallas/segsum.py)   node-major scatter
+
+Edges are numbered user-sorted (graph.py), so node-major incidence order
+is exactly [u-region (identity) | q-rank | i-rank] and the u role needs no
+permutation at all. The backward passes reuse the same packed operands in
+the opposite direction (gather-bwd = region permute + segment-sum;
+scatter-bwd = windowed expansions summed over roles).
+
+The kernel pack enters the custom-vjp functions as an explicit pytree
+argument (float0 cotangents): closed-over traced arrays leak out of
+``jax.checkpoint``'s inner trace under remat, and baked-in numpy constants
+overflow compile payload limits at stress scale.
+
+Dispatch: Pallas when the graph carries a kernel pack, the edge axis is
+unmasked, and the backend is TPU; otherwise XLA segment ops (CPU tests,
+GSPMD-sharded meshes, log-hypergraphs).
 """
 
 from __future__ import annotations
@@ -37,25 +47,28 @@ import numpy as np
 
 from ihgnn_tpu.graph import Graph2D, HyperGraph
 from ihgnn_tpu.ops import segment as xla_ops
+from ihgnn_tpu.ops.pallas.gather import windowed_gather
+from ihgnn_tpu.ops.pallas.permute import block_transpose, row_local_permute
 from ihgnn_tpu.ops.pallas.segsum import csr_segment_sum_t
 
 
 def use_pallas(graph) -> bool:
-    return (getattr(graph, "pk_tile_ptr", None) is not None
-            and getattr(graph, "edge_mask", None) is None
-            and jax.default_backend() == "tpu")
+    if jax.default_backend() != "tpu":
+        return False
+    if isinstance(graph, HyperGraph) or hasattr(graph, "kp"):
+        return (getattr(graph, "kp", None) is not None
+                and getattr(graph, "edge_mask", None) is None)
+    return getattr(graph, "pk_tile_ptr", None) is not None
 
 
 def strip_kernel_packing(graph):
-    """Drop the pk_* packing arrays so every op dispatches to the XLA
-    fallback — the ``--no_pallas`` / RuntimeConfig.use_pallas=False path."""
-    pk_fields = [f for f in ("pk_inc_perm", "pk_inc_edge", "pk_ids2d",
-                             "pk_tile_ptr", "pk_perm_q", "pk_perm_i",
-                             "pk_col", "pk_val")
-                 if getattr(graph, f, None) is not None]
-    if not pk_fields:
+    """Drop kernel packing so every op dispatches to the XLA fallback —
+    the ``--no_pallas`` / RuntimeConfig.use_pallas=False path."""
+    fields = [f for f in ("kp", "pk_col", "pk_val", "pk_ids2d", "pk_tile_ptr")
+              if getattr(graph, f, None) is not None]
+    if not fields:
         return graph
-    return graph.replace(**{f: None for f in pk_fields})
+    return graph.replace(**{f: None for f in fields})
 
 
 def _f0(x):
@@ -63,72 +76,130 @@ def _f0(x):
     return np.zeros(np.shape(x), dtype=jax.dtypes.float0)
 
 
-def _segsum_regions_t(u_part, q_part, i_part, perm_q, perm_i, ids2d,
-                      tile_ptr, n: int, pad: int):
-    """Region parts are [d, E]; the node-major expansion is their
-    concatenation (u-region = identity). Returns [d, n]."""
-    parts = [u_part, q_part[:, perm_q], i_part[:, perm_i]]
+def _f0_tree(tree):
+    return jax.tree.map(_f0, tree)
+
+
+# ---------------------------------------------------------------------------
+# Pallas building blocks (operate on kp sub-structures)
+# ---------------------------------------------------------------------------
+
+
+def _expand(x_pad, ep):
+    """Windowed expansion: [d, src_pad] → [d, R*C]."""
+    return windowed_gather(x_pad, ep.idx, ep.win, ep.w)
+
+
+def _role_forward(x_pad, rp, rows, cols):
+    """Role features in edge order: expand∘stage0 (fused) then T·p1·T·p2."""
+    d = x_pad.shape[0]
+    a0 = _expand(x_pad, rp.gather).reshape(d, rows, cols)
+    t0 = block_transpose(a0)
+    a1 = row_local_permute(t0, rp.fwd_p1)
+    t1 = block_transpose(a1)
+    out = row_local_permute(t1, rp.fwd_p2)
+    return out.reshape(d, rows * cols)
+
+
+def _permute_to_rank(y, st, rows, cols):
+    """Pure permutation edge order → role-rank order ([d, E_pad])."""
+    d = y.shape[0]
+    a0 = row_local_permute(y.reshape(d, rows, cols), st.p0)
+    t0 = block_transpose(a0)
+    a1 = row_local_permute(t0, st.p1)
+    t1 = block_transpose(a1)
+    out = row_local_permute(t1, st.p2)
+    return out.reshape(d, rows * cols)
+
+
+def _segsum_regions(region_u, region_q, region_i, kp):
+    """Segment-sum of the node-major incidence values ([d, E] regions in
+    [u | q-rank | i-rank] order) → [d, N]."""
+    d = region_u.shape[0]
+    pad = kp.k_pad - 3 * kp.e
+    parts = [region_u, region_q, region_i]
     if pad:
-        parts.append(jnp.zeros((u_part.shape[0], pad), u_part.dtype))
-    expanded_t = jnp.concatenate(parts, axis=1)
-    return csr_segment_sum_t(expanded_t, ids2d, tile_ptr, n,
+        parts.append(jnp.zeros((d, pad), region_u.dtype))
+    vals = jnp.concatenate(parts, axis=1)
+    return csr_segment_sum_t(vals, kp.ids2d, kp.tile_ptr, kp.n,
                              out_transposed=True)
 
 
-def _gather_split(x_t, i3_flat):
-    """Per-role gathers: the u-role ids are sorted (edges are u-numbered),
-    which the HBM access pattern rewards ~10x over a random gather."""
-    e = i3_flat.shape[0] // 3
-    return jnp.concatenate([x_t[:, i3_flat[:e]], x_t[:, i3_flat[e:2 * e]],
-                            x_t[:, i3_flat[2 * e:]]], axis=1)
+def _gather_impl(x_pad, kp):
+    u = _expand(x_pad, kp.u_expand)
+    q = _role_forward(x_pad, kp.q, kp.rows, kp.cols)
+    i = _role_forward(x_pad, kp.i, kp.rows, kp.cols)
+    return jnp.concatenate([u, q, i], axis=1)
+
+
+def _scatter_impl(edge_t, kp):
+    e = kp.e
+    region_q = _permute_to_rank(edge_t, kp.q.bwd, kp.rows, kp.cols)
+    region_i = _permute_to_rank(edge_t, kp.i.bwd, kp.rows, kp.cols)
+    return _segsum_regions(edge_t[:, :e], region_q[:, :e], region_i[:, :e],
+                           kp)
+
+
+# ---------------------------------------------------------------------------
+# custom-vjp primitives (Pallas path)
+# ---------------------------------------------------------------------------
 
 
 @jax.custom_vjp
-def _gather_roles_t(x_t, i3_flat, perm_q, perm_i, ids2d, tile_ptr):
-    return _gather_split(x_t, i3_flat)
+def _gather_roles_pallas(x_pad, kp):
+    return _gather_impl(x_pad, kp)
 
 
-def _gather_fwd(x_t, i3_flat, perm_q, perm_i, ids2d, tile_ptr):
-    return _gather_split(x_t, i3_flat), (i3_flat, perm_q, perm_i, ids2d,
-                                         tile_ptr, x_t.shape[1])
+def _gather_fwd(x_pad, kp):
+    return _gather_impl(x_pad, kp), kp
 
 
-def _gather_bwd(res, cot):
-    i3_flat, perm_q, perm_i, ids2d, tile_ptr, n = res
-    e = i3_flat.shape[0] // 3
-    grad = _segsum_regions_t(cot[:, :e], cot[:, e:2 * e], cot[:, 2 * e:],
-                             perm_q, perm_i, ids2d, tile_ptr, n,
-                             ids2d.size - 3 * e)
-    return (grad, _f0(i3_flat), _f0(perm_q), _f0(perm_i), _f0(ids2d),
-            _f0(tile_ptr))
+def _gather_bwd(kp, cot):
+    e_pad, e = kp.e_pad, kp.e
+    cot_u = cot[:, :e_pad]
+    cot_q = _permute_to_rank(cot[:, e_pad:2 * e_pad], kp.q.bwd, kp.rows,
+                             kp.cols)
+    cot_i = _permute_to_rank(cot[:, 2 * e_pad:], kp.i.bwd, kp.rows, kp.cols)
+    grad = _segsum_regions(cot_u[:, :e], cot_q[:, :e], cot_i[:, :e], kp)
+    grad = jnp.pad(grad, ((0, 0), (0, kp.src_pad - kp.n)))
+    return grad, _f0_tree(kp)
 
 
-_gather_roles_t.defvjp(_gather_fwd, _gather_bwd)
+_gather_roles_pallas.defvjp(_gather_fwd, _gather_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
-def _scatter_incidence_t(edge_t, i3_flat, perm_q, perm_i, ids2d, tile_ptr, n):
-    return _segsum_regions_t(edge_t, edge_t, edge_t, perm_q, perm_i, ids2d,
-                             tile_ptr, n, ids2d.size - 3 * edge_t.shape[1])
+@jax.custom_vjp
+def _scatter_pallas(edge_t, kp):
+    return _scatter_impl(edge_t, kp)
 
 
-def _scatter_fwd(edge_t, i3_flat, perm_q, perm_i, ids2d, tile_ptr, n):
-    out = _scatter_incidence_t(edge_t, i3_flat, perm_q, perm_i, ids2d,
-                               tile_ptr, n)
-    return out, (i3_flat, perm_q, perm_i, ids2d, tile_ptr)
+def _scatter_fwd(edge_t, kp):
+    return _scatter_impl(edge_t, kp), kp
 
 
-def _scatter_bwd(n, res, cot):
-    i3_flat, perm_q, perm_i, ids2d, tile_ptr = res
-    e = i3_flat.shape[0] // 3
-    # per-role gathers: the u-role gather is monotone (fast path)
-    grad = (cot[:, i3_flat[:e]] + cot[:, i3_flat[e:2 * e]]
-            + cot[:, i3_flat[2 * e:]])
-    return (grad, _f0(i3_flat), _f0(perm_q), _f0(perm_i), _f0(ids2d),
-            _f0(tile_ptr))
+def _scatter_bwd(kp, cot):
+    cot_pad = jnp.pad(cot, ((0, 0), (0, kp.src_pad - kp.n)))
+    grad = (_expand(cot_pad, kp.u_expand)
+            + _role_forward(cot_pad, kp.q, kp.rows, kp.cols)
+            + _role_forward(cot_pad, kp.i, kp.rows, kp.cols))
+    if kp.e_pad != kp.e:
+        # tail columns are padding, not edges: their expansion values are
+        # repeats of real node cotangents and must not leak into the
+        # edge-feature gradient (they would pollute interactor weight
+        # grads through the full-width matmuls)
+        d = grad.shape[0]
+        grad = jnp.concatenate(
+            [grad[:, :kp.e], jnp.zeros((d, kp.e_pad - kp.e), grad.dtype)],
+            axis=1)
+    return grad, _f0_tree(kp)
 
 
-_scatter_incidence_t.defvjp(_scatter_fwd, _scatter_bwd)
+_scatter_pallas.defvjp(_scatter_fwd, _scatter_bwd)
+
+
+# ---------------------------------------------------------------------------
+# public op factories
+# ---------------------------------------------------------------------------
 
 
 def role_major_i3(graph: HyperGraph) -> jnp.ndarray:
@@ -140,13 +211,23 @@ def role_major_i3(graph: HyperGraph) -> jnp.ndarray:
 
 def make_hyper_ops(graph: HyperGraph):
     """Returns (gather_roles_t, scatter_incidence_t) bound to one graph's
-    static packing. Both operate feature-major."""
+    static packing. Both operate feature-major.
+
+    Pallas path widths: gather returns [d, 3·E_pad] (regions at E_pad
+    stride, tail columns junk past E); scatter consumes [d, E_pad] and
+    ignores tail columns. XLA path widths are exact ([d, 3E] / [d, E]).
+    Layers split regions by thirds, so both contracts compose identically.
+    """
     n = graph.node_count
-    i3_flat = role_major_i3(graph)
 
     if not use_pallas(graph):
+        i3_flat = role_major_i3(graph)
+
         def gather_roles_t(x_t):
-            return _gather_split(x_t, i3_flat)
+            e = i3_flat.shape[0] // 3
+            return jnp.concatenate(
+                [x_t[:, i3_flat[:e]], x_t[:, i3_flat[e:2 * e]],
+                 x_t[:, i3_flat[2 * e:]]], axis=1)
 
         def scatter_incidence_t(edge_t):
             out = xla_ops.hyperedge_scatter(edge_t.T, graph.inc_edge,
@@ -155,17 +236,21 @@ def make_hyper_ops(graph: HyperGraph):
 
         return gather_roles_t, scatter_incidence_t
 
-    perm_q, perm_i = graph.pk_perm_q, graph.pk_perm_i
-    ids2d, tile_ptr = graph.pk_ids2d, graph.pk_tile_ptr
+    kp = graph.kp
 
     def gather_roles_t(x_t):
-        return _gather_roles_t(x_t, i3_flat, perm_q, perm_i, ids2d, tile_ptr)
+        x_pad = jnp.pad(x_t, ((0, 0), (0, kp.src_pad - n)))
+        return _gather_roles_pallas(x_pad, kp)
 
     def scatter_incidence_t(edge_t):
-        return _scatter_incidence_t(edge_t, i3_flat, perm_q, perm_i, ids2d,
-                                    tile_ptr, n)
+        return _scatter_pallas(edge_t, kp)
 
     return gather_roles_t, scatter_incidence_t
+
+
+# ---------------------------------------------------------------------------
+# 2D-graph SpMM (GCN path)
+# ---------------------------------------------------------------------------
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))

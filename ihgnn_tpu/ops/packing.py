@@ -1,0 +1,196 @@
+"""Host-side kernel packing: graph structure → Pallas operand pytrees.
+
+Everything the fast hypergraph pipeline needs is static per graph and
+computed once here (NumPy + the native routing library):
+
+* role expansions — windowed-gather packs (ops/pallas/gather.py) over the
+  role-sorted endpoint ids; for q/i the Beneš stage-0 shuffle is COMPOSED
+  into the gather index table (saves one full [d, E] round-trip per
+  permutation), leaving only stages T·p1·T·p2 to run on device.
+* role permutations (edge order ↔ role-rank order) — Clos plans routed by
+  csrc/routing.cc.
+* the node-major CSR segment-sum pack (ops/pallas/segsum.py) over the 3E
+  incidence entries.
+
+Reference counterpart: none — the reference keeps torch COO tensors and
+lets torch_sparse/dgl CUDA kernels do dynamic gather/scatter
+(/root/reference/Helpers/Graph.py:71-77, Models/GnnLayers.py:233). On TPU
+the winning strategy is to precompute static routed layouts so the hot
+loop is pure dense MXU/DMA work.
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ihgnn_tpu.ops.pallas.gather import CHUNK, pack_windows
+from ihgnn_tpu.ops.pallas.permute import pick_grid
+from ihgnn_tpu.ops.pallas.segsum import pack_csr_tiles
+
+# A banded-gather row may span at most this many source columns; beyond it
+# (pathologically sparse id ranges) the graph falls back to XLA ops.
+W_CAP = 16384
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@struct.dataclass
+class ExpandPack:
+    """Operands for ops/pallas/gather.windowed_gather."""
+    idx: Any                                   # [R, C/128, 128] int32
+    win: Any                                   # [R] int32
+    w: int = struct.field(pytree_node=False, default=0)
+    src_pad: int = struct.field(pytree_node=False, default=0)
+
+
+@struct.dataclass
+class PermStages:
+    """Row-local stage tables of one routed permutation (ops/pallas/permute)."""
+    p0: Any                                    # [R, C] int32
+    p1: Any                                    # [C, R] int32
+    p2: Any                                    # [R, C] int32
+
+
+@struct.dataclass
+class RolePack:
+    """Per-role (q/i) operands.
+
+    fwd (role-sorted → edge order, used by gather-forward and
+    scatter-backward): ``gather`` composes expand∘stage0; then
+    T, fwd_p1, T, fwd_p2.
+    bwd (edge order → role-rank order, used by scatter-forward and
+    gather-backward): the pure permutation ``bwd``.
+    """
+    gather: ExpandPack
+    fwd_p1: Any                                # [C, R] int32
+    fwd_p2: Any                                # [R, C] int32
+    bwd: PermStages
+
+
+@struct.dataclass
+class HyperKernelPack:
+    """All device operands for the Pallas hypergraph aggregation."""
+    u_expand: ExpandPack                       # u-role: expansion only
+    q: RolePack
+    i: RolePack
+    ids2d: Any                                 # [K_pad/128, 128] int32
+    tile_ptr: Any                              # [T+1] int32
+    e: int = struct.field(pytree_node=False, default=0)       # true E
+    n: int = struct.field(pytree_node=False, default=0)       # node count
+    e_pad: int = struct.field(pytree_node=False, default=0)   # R*C
+    rows: int = struct.field(pytree_node=False, default=0)
+    cols: int = struct.field(pytree_node=False, default=0)
+    src_pad: int = struct.field(pytree_node=False, default=0)  # node pad
+    k_pad: int = struct.field(pytree_node=False, default=0)    # segsum pad
+
+
+def _route(perm: np.ndarray, rows: int, cols: int
+           ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    from ihgnn_tpu.ops import native
+    routed = native.benes_route(perm, rows, cols)
+    if routed is None:
+        from ihgnn_tpu.ops.benes import benes_route_rect
+        routed = benes_route_rect(perm, rows, cols)
+    return tuple(np.asarray(p, np.int32) for p in routed)
+
+
+def _pad_perm(perm: np.ndarray, e_pad: int) -> np.ndarray:
+    e = perm.shape[0]
+    return np.concatenate([np.asarray(perm, np.int64),
+                           np.arange(e, e_pad, dtype=np.int64)])
+
+
+def _role_pack(role_ids: np.ndarray, order: np.ndarray, rank: np.ndarray,
+               rows: int, cols: int, pool: ThreadPoolExecutor):
+    """Build a RolePack for one role.
+
+    role_ids: [E] endpoint node ids in edge order.
+    order:    [E] argsort(role_ids) — role-rank → edge id.
+    rank:     [E] inverse of order — edge id → role rank.
+    """
+    e = role_ids.shape[0]
+    e_pad = rows * cols
+    fwd_f = pool.submit(_route, _pad_perm(rank, e_pad), rows, cols)
+    bwd_f = pool.submit(_route, _pad_perm(order, e_pad), rows, cols)
+
+    sorted_ids = role_ids[order]
+    sorted_pad = np.concatenate([
+        sorted_ids, np.full(e_pad - e, sorted_ids[-1] if e else 0,
+                            sorted_ids.dtype)])
+
+    f0, f1, f2 = fwd_f.result()
+    # compose expand with the forward stage-0 shuffle: stage 0 reads
+    # in-row positions, so the fused source id is sorted_pad[r*C + f0[r,c]]
+    # and rows stay banded (the window is the row's sorted-id range)
+    idx = np.take_along_axis(sorted_pad.reshape(rows, cols),
+                             f0.astype(np.int64), axis=1)
+    gp = pack_windows(idx, w_cap=W_CAP)
+
+    b0, b1, b2 = bwd_f.result()
+    return RolePack(
+        gather=ExpandPack(idx=gp.idx_rel, win=gp.win, w=gp.w,
+                          src_pad=gp.src_pad),
+        fwd_p1=jnp.asarray(f1), fwd_p2=jnp.asarray(f2),
+        bwd=PermStages(p0=jnp.asarray(b0), p1=jnp.asarray(b1),
+                       p2=jnp.asarray(b2)),
+    )
+
+
+def build_hyper_kernel_pack(i3: np.ndarray, inc_node: np.ndarray,
+                            node_count: int, cols: int = 1024
+                            ) -> Optional[HyperKernelPack]:
+    """Pack a HyperGraph's structure for the Pallas pipeline, or None when
+    any banded-gather row exceeds W_CAP (XLA fallback).
+
+    i3: [E, 3] endpoint ids, edge order (u-sorted). inc_node: [3E] sorted.
+    """
+    e = i3.shape[0]
+    if e == 0:
+        return None
+    rows, cols = pick_grid(e, cols)
+    e_pad = rows * cols
+
+    try:
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            u_ids = np.asarray(i3[:, 0], np.int64)
+            # u region: edge order IS u-sorted order — expansion only
+            u_pad = np.concatenate([u_ids, np.full(e_pad - e, u_ids[-1])])
+            up = pack_windows(u_pad.reshape(rows, cols), w_cap=W_CAP)
+
+            packs = {}
+            for name, col_idx in (("q", 1), ("i", 2)):
+                ids = np.asarray(i3[:, col_idx], np.int64)
+                order = np.argsort(ids, kind="stable")
+                rank = np.empty(e, np.int64)
+                rank[order] = np.arange(e)
+                packs[name] = _role_pack(ids, order, rank, rows, cols, pool)
+    except ValueError:
+        return None
+
+    # node-major CSR segment-sum pack over the 3E incidence entries
+    from ihgnn_tpu.ops.pallas.segsum import BLOCK
+    k = 3 * e
+    k_pad = _round_up(max(k, 1), BLOCK)
+    ids_pad = np.concatenate([np.asarray(inc_node, np.int32),
+                              np.full(k_pad - k, 2**31 - 1, np.int32)])
+    tile_ptr, _ = pack_csr_tiles(np.asarray(inc_node), node_count)
+
+    src_pad = max(up.src_pad, packs["q"].gather.src_pad,
+                  packs["i"].gather.src_pad,
+                  _round_up(node_count, CHUNK))
+    return HyperKernelPack(
+        u_expand=ExpandPack(idx=up.idx_rel, win=up.win, w=up.w,
+                            src_pad=up.src_pad),
+        q=packs["q"], i=packs["i"],
+        ids2d=jnp.asarray(ids_pad.reshape(-1, 128)),
+        tile_ptr=jnp.asarray(tile_ptr),
+        e=e, n=int(node_count), e_pad=e_pad, rows=rows, cols=cols,
+        src_pad=src_pad, k_pad=k_pad,
+    )

@@ -81,8 +81,11 @@ def _gather_kernel(win_ref, idx_ref, x_hbm, o_ref, xwin, sems, *, w: int):
     n_rows = pl.num_programs(0)
 
     def dma(slot, row):
+        # window starts are 128-aligned by pack_windows; the hint lets
+        # Mosaic prove the HBM slice respects the (8, 128) tiling
+        off = pl.multiple_of(win_ref[row], CHUNK)
         return pltpu.make_async_copy(
-            x_hbm.at[:, pl.ds(win_ref[row], w)], xwin.at[slot],
+            x_hbm.at[:, pl.ds(off, w)], xwin.at[slot],
             sems.at[slot])
 
     @pl.when(r == 0)

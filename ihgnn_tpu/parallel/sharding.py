@@ -83,11 +83,10 @@ def graph_sharding(graph, mesh: Mesh):
     edge2d = NamedSharding(mesh, P(DATA_AXIS, None))
     if isinstance(graph, HyperGraph):
         mask = None if graph.edge_mask is None else edge2d
-        pk = {f: (None if getattr(graph, f) is None else rep)
-              for f in ("pk_inc_perm", "pk_inc_edge", "pk_ids2d",
-                        "pk_tile_ptr", "pk_perm_q", "pk_perm_i")}
+        kp = (None if graph.kp is None
+              else jax.tree.map(lambda _: rep, graph.kp))
         return graph.replace(i3=edge2d, dv=rep, inc_node=edge, inc_edge=edge,
-                             edge_mask=mask, **pk)
+                             edge_mask=mask, kp=kp)
     if isinstance(graph, Graph2D):
         pk = {f: (None if getattr(graph, f) is None else rep)
               for f in ("pk_col", "pk_val", "pk_ids2d", "pk_tile_ptr")}

@@ -51,21 +51,26 @@ def test_pack_csr_tiles():
     assert ptr[-1] == 7
 
 
-def test_hypergraph_carries_packing():
+def test_hypergraph_carries_kernel_pack():
     data = make_synthetic_data(user_count=6, query_count=5, item_count=9,
                                vocab_size=12, log_count=40, seed=3)
     g = data.hypergraph
-    assert g.pk_tile_ptr is not None
-    k_pad = len(g.pk_inc_edge)
-    assert k_pad % BLOCK == 0
-    # packing consistency: pk_inc_edge == inc_edge on real entries
-    np.testing.assert_array_equal(g.pk_inc_edge[:len(g.inc_edge)], g.inc_edge)
-    np.testing.assert_array_equal(g.pk_inc_perm[:len(g.inc_edge)] // 3,
-                                  g.inc_edge)
-    # the perm recovers node-major node ids from edge-major flat i3
-    flat = np.asarray(g.i3).reshape(-1)
-    np.testing.assert_array_equal(flat[g.pk_inc_perm[:len(g.inc_node)]],
-                                  g.inc_node)
+    kp = g.kp
+    assert kp is not None
+    assert kp.e == g.edge_count and kp.n == g.node_count
+    assert kp.e_pad == kp.rows * kp.cols >= g.edge_count
+    assert kp.k_pad % BLOCK == 0 and kp.k_pad >= 3 * g.edge_count
+    # segsum ids cover the node-major incidence, padded with sentinels
+    ids_flat = np.asarray(kp.ids2d).reshape(-1)
+    np.testing.assert_array_equal(ids_flat[:len(g.inc_node)], g.inc_node)
+    assert np.all(ids_flat[len(g.inc_node):] == 2**31 - 1)
+    # the node-major entry order is [u | q-rank | i-rank] (graph.py)
+    e = g.edge_count
+    np.testing.assert_array_equal(g.inc_edge[:e], np.arange(e))
+    np.testing.assert_array_equal(
+        g.inc_edge[e:2 * e], np.argsort(g.i3[:, 1], kind="stable"))
+    np.testing.assert_array_equal(
+        g.inc_edge[2 * e:], np.argsort(g.i3[:, 2], kind="stable"))
 
 
 def test_hyper_ops_xla_path_grads():

@@ -168,7 +168,8 @@ def main():
     report("xla_gather_random_E", ms_x, True, 0.0)
 
     # ---- 3. Beneš permutation of [d, E] edge features ----
-    perm = np.asarray(graph.pk_perm_q, np.int64)   # a real role bijection
+    # a real role bijection: q-rank -> edge id
+    perm = np.argsort(np.asarray(graph.i3[:, 1]), kind="stable").astype(np.int64)
     t0 = time.time()
     plan = make_plan(perm, c=1024)
     route_s = time.time() - t0
