@@ -101,26 +101,22 @@ def _role_forward(x_pad, rp, rows, cols):
     return out.reshape(d, rows * cols)
 
 
-def _permute_to_rank(y, st, rows, cols):
-    """Pure permutation edge order → role-rank order ([d, E_pad])."""
+def _permute_to_t1(y, rp, rows, cols):
+    """Edge order → pre-stage-2 ("t1") role-rank order ([d, E_pad]). The
+    final Clos stage is absorbed into the segment-sum ids (packing.py), so
+    only p0 · T · p1 · T run on device."""
     d = y.shape[0]
-    a0 = row_local_permute(y.reshape(d, rows, cols), st.p0)
+    a0 = row_local_permute(y.reshape(d, rows, cols), rp.bwd_p0)
     t0 = block_transpose(a0)
-    a1 = row_local_permute(t0, st.p1)
+    a1 = row_local_permute(t0, rp.bwd_p1)
     t1 = block_transpose(a1)
-    out = row_local_permute(t1, st.p2)
-    return out.reshape(d, rows * cols)
+    return t1.reshape(d, rows * cols)
 
 
-def _segsum_regions(region_u, region_q, region_i, kp):
-    """Segment-sum of the node-major incidence values ([d, E] regions in
-    [u | q-rank | i-rank] order) → [d, N]."""
-    d = region_u.shape[0]
-    pad = kp.k_pad - 3 * kp.e
-    parts = [region_u, region_q, region_i]
-    if pad:
-        parts.append(jnp.zeros((d, pad), region_u.dtype))
-    vals = jnp.concatenate(parts, axis=1)
+def _segsum_regions(region_u, region_q_t1, region_i_t1, kp):
+    """Segment-sum of the incidence values (full-width [d, E_pad] regions;
+    q/i in t1 order, pad tails dropped via sentinel ids) → [d, N]."""
+    vals = jnp.concatenate([region_u, region_q_t1, region_i_t1], axis=1)
     return csr_segment_sum_t(vals, kp.ids2d, kp.tile_ptr, kp.n,
                              out_transposed=True)
 
@@ -133,11 +129,9 @@ def _gather_impl(x_pad, kp):
 
 
 def _scatter_impl(edge_t, kp):
-    e = kp.e
-    region_q = _permute_to_rank(edge_t, kp.q.bwd, kp.rows, kp.cols)
-    region_i = _permute_to_rank(edge_t, kp.i.bwd, kp.rows, kp.cols)
-    return _segsum_regions(edge_t[:, :e], region_q[:, :e], region_i[:, :e],
-                           kp)
+    region_q = _permute_to_t1(edge_t, kp.q, kp.rows, kp.cols)
+    region_i = _permute_to_t1(edge_t, kp.i, kp.rows, kp.cols)
+    return _segsum_regions(edge_t, region_q, region_i, kp)
 
 
 # ---------------------------------------------------------------------------
@@ -155,12 +149,11 @@ def _gather_fwd(x_pad, kp):
 
 
 def _gather_bwd(kp, cot):
-    e_pad, e = kp.e_pad, kp.e
+    e_pad = kp.e_pad
     cot_u = cot[:, :e_pad]
-    cot_q = _permute_to_rank(cot[:, e_pad:2 * e_pad], kp.q.bwd, kp.rows,
-                             kp.cols)
-    cot_i = _permute_to_rank(cot[:, 2 * e_pad:], kp.i.bwd, kp.rows, kp.cols)
-    grad = _segsum_regions(cot_u[:, :e], cot_q[:, :e], cot_i[:, :e], kp)
+    cot_q = _permute_to_t1(cot[:, e_pad:2 * e_pad], kp.q, kp.rows, kp.cols)
+    cot_i = _permute_to_t1(cot[:, 2 * e_pad:], kp.i, kp.rows, kp.cols)
+    grad = _segsum_regions(cot_u, cot_q, cot_i, kp)
     grad = jnp.pad(grad, ((0, 0), (0, kp.src_pad - kp.n)))
     return grad, _f0_tree(kp)
 

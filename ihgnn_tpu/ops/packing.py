@@ -51,14 +51,6 @@ class ExpandPack:
 
 
 @struct.dataclass
-class PermStages:
-    """Row-local stage tables of one routed permutation (ops/pallas/permute)."""
-    p0: Any                                    # [R, C] int32
-    p1: Any                                    # [C, R] int32
-    p2: Any                                    # [R, C] int32
-
-
-@struct.dataclass
 class RolePack:
     """Per-role (q/i) operands.
 
@@ -66,12 +58,16 @@ class RolePack:
     scatter-backward): ``gather`` composes expand∘stage0; then
     T, fwd_p1, T, fwd_p2.
     bwd (edge order → role-rank order, used by scatter-forward and
-    gather-backward): the pure permutation ``bwd``.
+    gather-backward): stages p0, T, p1, T only — the final stage p2 is
+    consumed at pack time by storing the segment-sum ids in pre-p2
+    ("t1") order, which the segsum kernel tolerates because stage 2 only
+    shuffles within rows contained in its DMA blocks.
     """
     gather: ExpandPack
     fwd_p1: Any                                # [C, R] int32
     fwd_p2: Any                                # [R, C] int32
-    bwd: PermStages
+    bwd_p0: Any                                # [R, C] int32
+    bwd_p1: Any                                # [C, R] int32
 
 
 @struct.dataclass
@@ -109,7 +105,7 @@ def _pad_perm(perm: np.ndarray, e_pad: int) -> np.ndarray:
 
 def _role_pack(role_ids: np.ndarray, order: np.ndarray, rank: np.ndarray,
                rows: int, cols: int, pool: ThreadPoolExecutor):
-    """Build a RolePack for one role.
+    """Build (RolePack, segsum ids in t1 order) for one role.
 
     role_ids: [E] endpoint node ids in edge order.
     order:    [E] argsort(role_ids) — role-rank → edge id.
@@ -134,13 +130,22 @@ def _role_pack(role_ids: np.ndarray, order: np.ndarray, rank: np.ndarray,
     gp = pack_windows(idx, w_cap=W_CAP)
 
     b0, b1, b2 = bwd_f.result()
-    return RolePack(
+    # absorb bwd stage 2 into the segment-sum: store the region's node ids
+    # in pre-p2 order (the value at t1 position (r, p2[r, c]) belongs at
+    # rank r*C + c); ranks >= E get int32-max sentinels (dropped in-kernel)
+    ids_final = np.concatenate([
+        sorted_ids.astype(np.int64), np.full(e_pad - e, 2**31 - 1, np.int64)])
+    ids_t1 = np.empty((rows, cols), np.int64)
+    np.put_along_axis(ids_t1, b2.astype(np.int64),
+                      ids_final.reshape(rows, cols), axis=1)
+
+    rp = RolePack(
         gather=ExpandPack(idx=gp.idx_rel, win=gp.win, w=gp.w,
                           src_pad=gp.src_pad),
         fwd_p1=jnp.asarray(f1), fwd_p2=jnp.asarray(f2),
-        bwd=PermStages(p0=jnp.asarray(b0), p1=jnp.asarray(b1),
-                       p2=jnp.asarray(b2)),
+        bwd_p0=jnp.asarray(b0), bwd_p1=jnp.asarray(b1),
     )
+    return rp, ids_t1.reshape(-1).astype(np.int32), sorted_ids
 
 
 def build_hyper_kernel_pack(i3: np.ndarray, inc_node: np.ndarray,
@@ -157,6 +162,11 @@ def build_hyper_kernel_pack(i3: np.ndarray, inc_node: np.ndarray,
     rows, cols = pick_grid(e, cols)
     e_pad = rows * cols
 
+    from ihgnn_tpu.ops.pallas.segsum import BLOCK, TILE_N
+    # the stage-2-into-segsum fusion requires Clos rows to nest inside the
+    # segsum DMA blocks (within-block shuffles are order-transparent)
+    assert cols <= BLOCK and BLOCK % cols == 0, (cols, BLOCK)
+
     try:
         with ThreadPoolExecutor(max_workers=4) as pool:
             u_ids = np.asarray(i3[:, 0], np.int64)
@@ -164,23 +174,35 @@ def build_hyper_kernel_pack(i3: np.ndarray, inc_node: np.ndarray,
             u_pad = np.concatenate([u_ids, np.full(e_pad - e, u_ids[-1])])
             up = pack_windows(u_pad.reshape(rows, cols), w_cap=W_CAP)
 
-            packs = {}
+            packs, region_ids, region_sorted = {}, {}, {}
             for name, col_idx in (("q", 1), ("i", 2)):
                 ids = np.asarray(i3[:, col_idx], np.int64)
                 order = np.argsort(ids, kind="stable")
                 rank = np.empty(e, np.int64)
                 rank[order] = np.arange(e)
-                packs[name] = _role_pack(ids, order, rank, rows, cols, pool)
+                packs[name], region_ids[name], region_sorted[name] = \
+                    _role_pack(ids, order, rank, rows, cols, pool)
     except ValueError:
         return None
 
-    # node-major CSR segment-sum pack over the 3E incidence entries
-    from ihgnn_tpu.ops.pallas.segsum import BLOCK
-    k = 3 * e
-    k_pad = _round_up(max(k, 1), BLOCK)
-    ids_pad = np.concatenate([np.asarray(inc_node, np.int32),
-                              np.full(k_pad - k, 2**31 - 1, np.int32)])
-    tile_ptr, _ = pack_csr_tiles(np.asarray(inc_node), node_count)
+    # segment-sum operands: regions [u | q-rank | i-rank], each e_pad wide
+    # (tails are sentinels), q/i ids stored in t1 order (stage-2 fusion)
+    u_region_ids = np.concatenate([
+        u_ids.astype(np.int32), np.full(e_pad - e, 2**31 - 1, np.int32)])
+    ids_all = np.concatenate([u_region_ids, region_ids["q"],
+                              region_ids["i"]])
+    k_pad = 3 * e_pad
+
+    # tile_ptr: first concat-layout position holding a node >= each tile
+    # boundary; piecewise because regions are separated by sentinel tails
+    n_tiles = _round_up(max(node_count, 1), TILE_N) // TILE_N
+    bounds = np.arange(0, (n_tiles + 1) * TILE_N, TILE_N)
+    pu = np.searchsorted(u_ids, bounds)
+    pq = np.searchsorted(region_sorted["q"], bounds)
+    pi = np.searchsorted(region_sorted["i"], bounds)
+    tile_ptr = np.where(pu < e, pu,
+                        np.where(pq < e, e_pad + pq,
+                                 2 * e_pad + pi)).astype(np.int32)
 
     src_pad = max(up.src_pad, packs["q"].gather.src_pad,
                   packs["i"].gather.src_pad,
@@ -189,7 +211,7 @@ def build_hyper_kernel_pack(i3: np.ndarray, inc_node: np.ndarray,
         u_expand=ExpandPack(idx=up.idx_rel, win=up.win, w=up.w,
                             src_pad=up.src_pad),
         q=packs["q"], i=packs["i"],
-        ids2d=jnp.asarray(ids_pad.reshape(-1, 128)),
+        ids2d=jnp.asarray(ids_all.reshape(-1, 128)),
         tile_ptr=jnp.asarray(tile_ptr),
         e=e, n=int(node_count), e_pad=e_pad, rows=rows, cols=cols,
         src_pad=src_pad, k_pad=k_pad,

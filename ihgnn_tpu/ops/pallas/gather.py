@@ -76,28 +76,41 @@ def pack_windows(idx: np.ndarray, w_cap: int = 16384) -> WindowedGatherPack:
     )
 
 
-def _gather_kernel(win_ref, idx_ref, x_hbm, o_ref, xwin, sems, *, w: int):
+NBUF = 4    # max window-DMA pipeline depth (rows in flight)
+
+
+def _gather_kernel(win_ref, idx_ref, x_hbm, o_ref, xwin, sems, ctr,
+                   *, w: int, nbuf: int):
     r = pl.program_id(0)
     n_rows = pl.num_programs(0)
 
-    def dma(slot, row):
+    def dma(row):
         # window starts are 128-aligned by pack_windows; the hint lets
         # Mosaic prove the HBM slice respects the (8, 128) tiling
         off = pl.multiple_of(win_ref[row], CHUNK)
+        slot = jax.lax.rem(row, nbuf)
         return pltpu.make_async_copy(
-            x_hbm.at[:, pl.ds(off, w)], xwin.at[slot],
-            sems.at[slot])
+            x_hbm.at[:, pl.ds(off, w)], xwin.at[slot], sems.at[slot])
 
     @pl.when(r == 0)
     def _():
-        dma(0, 0).start()
+        ctr[0] = 0
 
-    slot = jax.lax.rem(r, 2)
-    dma(slot, r).wait()
-    # prefetch the next row's window while this row computes
-    @pl.when(r + 1 < n_rows)
-    def _():
-        dma(1 - slot, r + 1).start()
+    # keep NBUF-1 row windows in flight past the current row (each row is
+    # consumed exactly once, so slot row%NBUF is free by the time the
+    # prefetch reaches it)
+    tgt = jnp.minimum(r + nbuf - 1, n_rows - 1)
+
+    def fetch(rr, _):
+        dma(rr).start()
+        return 0
+
+    fetched = ctr[0]
+    jax.lax.fori_loop(jnp.maximum(fetched, r), tgt + 1, fetch, 0)
+    ctr[0] = jnp.maximum(fetched, tgt + 1)
+
+    slot = jax.lax.rem(r, nbuf)
+    dma(r).wait()
 
     x = xwin[slot]                                 # [d, w]
     xhi = x.astype(jnp.bfloat16)
@@ -123,6 +136,8 @@ def windowed_gather(x_t: jnp.ndarray, idx_rel: jnp.ndarray, win: jnp.ndarray,
     c = n_chunks * CHUNK
     assert w % CHUNK == 0 and n_pad % CHUNK == 0, (w, n_pad)
 
+    # clamp the pipeline depth so window buffers stay within ~6MB VMEM
+    nbuf = max(2, min(NBUF, (6 << 20) // max(d * w * 4, 1)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(r,),
@@ -134,12 +149,13 @@ def windowed_gather(x_t: jnp.ndarray, idx_rel: jnp.ndarray, win: jnp.ndarray,
         out_specs=pl.BlockSpec((d, c), lambda i, win: (0, i),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, d, w), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((nbuf, d, w), jnp.float32),
+            pltpu.SemaphoreType.DMA((nbuf,)),
+            pltpu.SMEM((1,), jnp.int32),
         ],
     )
     return pl.pallas_call(
-        functools.partial(_gather_kernel, w=w),
+        functools.partial(_gather_kernel, w=w, nbuf=nbuf),
         out_shape=jax.ShapeDtypeStruct((d, r * c), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,

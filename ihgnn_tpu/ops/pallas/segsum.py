@@ -66,47 +66,79 @@ def _make_segsum_kernel(out_transposed: bool):
 
 
 def _segsum_kernel(tile_ptr_ref, values_t_hbm, ids_hbm, out_ref, acc, vbuf,
-                   nbuf, sems, out_transposed=False):
+                   nbuf, sems, ctr, out_transposed=False):
+    """Streaming variant: the entry stream is consumed in order across the
+    whole grid, so the DMA pipeline is GLOBAL — two SMEM counters
+    (next-unfetched block, next-unwaited block) persist across grid
+    programs, and each tile extends the prefetch window NBUF blocks past
+    its own consumption point. Without this, every one of the ~N/128
+    programs pays a full DMA latency on its first (usually only) block —
+    which dominated the kernel (~2 us x 5.5k tiles on v5e at 6M entries).
+    """
     t = pl.program_id(0)
     start = tile_ptr_ref[t]
     end = tile_ptr_ref[t + 1]
     node_base = t * TILE_N
+    total_blocks = ids_hbm.shape[0] // NSUB
 
-    aligned = (start // BLOCK) * BLOCK
-    num_blocks = pl.cdiv(end - aligned, BLOCK)
-    acc[...] = jnp.zeros_like(acc)
+    g0 = start // BLOCK
+    g1 = jnp.where(end > start, (end - 1) // BLOCK, g0 - 1)   # inclusive
 
-    def dmas(slot, bi):
-        off = aligned + bi * BLOCK
-        idrow = off // 128
+    @pl.when(t == 0)
+    def _():
+        ctr[0] = 0    # next block to start fetching
+        ctr[1] = 0    # next block to wait on
+
+    def dmas(g):
         return (
-            pltpu.make_async_copy(values_t_hbm.at[:, pl.ds(off, BLOCK)],
-                                  vbuf.at[slot], sems.at[slot, 0]),
-            pltpu.make_async_copy(ids_hbm.at[pl.ds(idrow, NSUB), :],
-                                  nbuf.at[slot], sems.at[slot, 1]),
+            pltpu.make_async_copy(
+                values_t_hbm.at[:, pl.ds(pl.multiple_of(g * BLOCK, BLOCK),
+                                         BLOCK)],
+                vbuf.at[jax.lax.rem(g, NBUF)],
+                sems.at[jax.lax.rem(g, NBUF), 0]),
+            pltpu.make_async_copy(
+                ids_hbm.at[pl.ds(g * NSUB, NSUB), :],
+                nbuf.at[jax.lax.rem(g, NBUF)],
+                sems.at[jax.lax.rem(g, NBUF), 1]),
         )
 
-    def warm(bi, _):
-        @pl.when(bi < num_blocks)
-        def _():
-            for d in dmas(bi, bi):
+    acc[...] = jnp.zeros_like(acc)
+
+    def body(g, _):
+        # extend the global prefetch window to g + NBUF - 1 (never
+        # overwrites: fetched-1 - NBUF <= g - 1, already consumed)
+        tgt = jnp.minimum(g + NBUF - 1, total_blocks - 1)
+
+        def fetch(gg, _):
+            for d in dmas(gg):
                 d.start()
-        return 0
+            return 0
 
-    jax.lax.fori_loop(0, NBUF, warm, 0, unroll=True)
+        fetched = ctr[0]
+        jax.lax.fori_loop(jnp.maximum(fetched, g), tgt + 1, fetch, 0)
+        ctr[0] = jnp.maximum(fetched, tgt + 1)
 
-    def body(bi, _):
-        slot = jax.lax.rem(bi, NBUF)
-        for d in dmas(slot, bi):
-            d.wait()
+        # wait each block's semaphores exactly once (boundary blocks are
+        # shared with the previous tile, which already waited)
+        def wait1(gg, _):
+            for d in dmas(gg):
+                d.wait()
+            return 0
 
-        block_off = aligned + bi * BLOCK
+        waited = ctr[1]
+        jax.lax.fori_loop(jnp.maximum(waited, g), g + 1, wait1, 0)
+        ctr[1] = jnp.maximum(waited, g + 1)
+
+        slot = jax.lax.rem(g, NBUF)
         for j in range(NSUB):
             nodes = nbuf[slot][j].reshape(1, SUB)
-            k = jax.lax.broadcasted_iota(jnp.int32, (1, SUB), 1)
-            global_k = block_off + j * SUB + k
-            valid = (global_k >= start) & (global_k < end)
-            local = jnp.where(valid, nodes - node_base, TILE_N)  # TILE_N=drop
+            # node-range filtering (no positional mask): entries whose node
+            # falls outside this tile — neighbors' shares of boundary
+            # blocks, sentinel padding, out-of-order entries within a block
+            # — simply match no one-hot row. This is what lets callers
+            # store ids in any within-block order (the Clos stage-2 fusion
+            # in ops/packing.py).
+            local = nodes - node_base
             onehot = (jax.lax.broadcasted_iota(jnp.int32, (TILE_N, SUB), 0)
                       == local).astype(jnp.bfloat16)
             # two-pass bf16 hi/lo split: ~f32 accuracy at 2 MXU passes
@@ -125,15 +157,9 @@ def _segsum_kernel(tile_ptr_ref, values_t_hbm, ids_hbm, out_ref, acc, vbuf,
                     acc[...] += jax.lax.dot_general(
                         onehot, part, dimension_numbers=dims,
                         preferred_element_type=jnp.float32)
-
-        # refill the slot just consumed with the block NBUF ahead
-        @pl.when(bi + NBUF < num_blocks)
-        def _():
-            for d in dmas(slot, bi + NBUF):
-                d.start()
         return 0
 
-    jax.lax.fori_loop(0, num_blocks, body, 0, unroll=False)
+    jax.lax.fori_loop(g0, g1 + 1, body, 0, unroll=False)
     out_ref[...] = acc[...]
 
 
@@ -148,8 +174,13 @@ def csr_segment_sum_t(values_t: jnp.ndarray, segment_ids_2d: jnp.ndarray,
 
     Args:
       values_t: [d, K_pad] — entry rows to sum (feature-major), sorted by
-        segment id along axis 1, K_pad a multiple of BLOCK.
-      segment_ids_2d: [K_pad / 128, 128] int32 sorted ids.
+        segment id along axis 1, K_pad a multiple of BLOCK. Sortedness is
+        only required at BLOCK granularity: entries may sit in any order
+        *within* a 1024-entry DMA block provided ``tile_ptr`` positions
+        are consistent with block membership (entries are matched to
+        output tiles by their id, not their position). Ids outside any
+        tile's range (e.g. int32-max sentinels on padding) are dropped.
+      segment_ids_2d: [K_pad / 128, 128] int32 ids (see ordering rule).
       tile_ptr: [T+1] int32 from ``pack_csr_tiles``.
       num_segments: unpadded segment count N.
       out_transposed: return [d, N] (feature-major, lane-packing friendly)
@@ -185,6 +216,7 @@ def csr_segment_sum_t(values_t: jnp.ndarray, segment_ids_2d: jnp.ndarray,
             pltpu.VMEM((NBUF, d, BLOCK), jnp.float32),
             pltpu.VMEM((NBUF, NSUB, 128), jnp.int32),
             pltpu.SemaphoreType.DMA((NBUF, 2)),
+            pltpu.SMEM((2,), jnp.int32),
         ],
     )
     out = pl.pallas_call(

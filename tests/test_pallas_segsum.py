@@ -59,11 +59,19 @@ def test_hypergraph_carries_kernel_pack():
     assert kp is not None
     assert kp.e == g.edge_count and kp.n == g.node_count
     assert kp.e_pad == kp.rows * kp.cols >= g.edge_count
-    assert kp.k_pad % BLOCK == 0 and kp.k_pad >= 3 * g.edge_count
-    # segsum ids cover the node-major incidence, padded with sentinels
+    assert kp.k_pad == 3 * kp.e_pad and kp.k_pad % BLOCK == 0
+    # segsum ids: three e_pad-wide regions; within each, the multiset of
+    # real ids equals the role's sorted incidence ids and tails are
+    # sentinels (q/i regions are stored block-shuffled — t1 order)
     ids_flat = np.asarray(kp.ids2d).reshape(-1)
-    np.testing.assert_array_equal(ids_flat[:len(g.inc_node)], g.inc_node)
-    assert np.all(ids_flat[len(g.inc_node):] == 2**31 - 1)
+    e, e_pad = kp.e, kp.e_pad
+    for r in range(3):
+        region = ids_flat[r * e_pad:(r + 1) * e_pad]
+        real = np.sort(region[region != 2**31 - 1])
+        np.testing.assert_array_equal(real, np.sort(g.i3[:, r]))
+        assert (region == 2**31 - 1).sum() == e_pad - e
+    # u region is unshuffled (identity edge order = u-sorted)
+    np.testing.assert_array_equal(ids_flat[:e], g.i3[:, 0])
     # the node-major entry order is [u | q-rank | i-rank] (graph.py)
     e = g.edge_count
     np.testing.assert_array_equal(g.inc_edge[:e], np.arange(e))
