@@ -66,8 +66,10 @@ def main():
                      train=TrainConfig(batch_size=B,
                                        random_negative_sample_size=K),
                      mesh=MeshConfig(data=data_axis, model=model_axis))
+        mesh = make_mesh(cfg.mesh) if n > 1 else None
         graph, uqif = build_bench_graph(U, Q, I, E)
-        graph = pad_hypergraph_for_mesh(graph, data_axis)
+        # mesh → per-shard Pallas kernel packs (auto: TPU only)
+        graph = pad_hypergraph_for_mesh(graph, data_axis, mesh=mesh)
         model = RawGnn(cfg=cfg.model, user_count=U, query_count=Q,
                        item_count=I, vocab_size=V,
                        table_row_multiple=model_axis)
@@ -85,7 +87,6 @@ def main():
             weight=np.ones(rows, np.float32))
 
         if n > 1:
-            mesh = make_mesh(cfg.mesh)
             state = shard_state(state, mesh)
             graph = shard_graph(graph, mesh)
             batch = shard_batch(batch, mesh)
@@ -94,11 +95,11 @@ def main():
         step = make_train_step(model, graph, qw, qc, tx)
 
         state, loss = step(state, batch)
-        jax.block_until_ready(loss)
+        float(loss)  # scalar fetch: block_until_ready is unreliable on axon
         t0 = time.time()
         for _ in range(a.steps):
             state, loss = step(state, batch)
-        jax.block_until_ready(loss)
+        float(loss)
         dt = (time.time() - t0) / a.steps
         results[n] = B / dt
         eff = results[n] / (results[counts[0]] * n / counts[0])

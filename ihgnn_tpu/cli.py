@@ -117,7 +117,10 @@ def run(cfg: Config) -> MetricsCollection:
         log_print("pallas kernels disabled (--no_pallas): XLA fallback ops")
     if mesh is not None:
         if cfg.model.uses_hypergraph and not cfg.model.use_log_hypergraph:
-            graph = pad_hypergraph_for_mesh(graph, cfg.mesh.data)
+            # pack_kernels None = auto (TPU only); False under --no_pallas
+            graph = pad_hypergraph_for_mesh(
+                graph, cfg.mesh.data, mesh=mesh,
+                pack_kernels=None if cfg.runtime.use_pallas else False)
         elif cfg.model.gnn in (V.GCN, V.GAT):
             graph = pad_graph2d_for_mesh(graph, cfg.mesh.data)
 

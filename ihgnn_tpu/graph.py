@@ -49,6 +49,10 @@ class HyperGraph:
     # expansions, Clos permutation stages, and the node-major CSR
     # segment-sum operands. None → XLA fallback ops.
     kp: object = None
+    # Sharded kernel packing (ops/packing.ShardedHyperPack): per-edge-shard
+    # packs stacked for shard_map dispatch on a device mesh. Attached by
+    # parallel/sharding.pad_hypergraph_for_mesh.
+    skp: object = None
     node_count: int = struct.field(pytree_node=False, default=0)
     edge_count: int = struct.field(pytree_node=False, default=0)
 
@@ -126,7 +130,7 @@ def build_hypergraph(uqi: np.ndarray, node_count: int, user_count: int,
     kp = None
     if pack_kernels and e_count:
         from ihgnn_tpu.ops.packing import build_hyper_kernel_pack
-        kp = build_hyper_kernel_pack(i3, sorted_nodes, node_count)
+        kp = build_hyper_kernel_pack(i3, node_count)
 
     return HyperGraph(
         i3=i3,

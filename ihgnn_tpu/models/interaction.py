@@ -66,11 +66,10 @@ class FeatureInteractor(nn.Module):
 
     @nn.compact
     def __call__(self, roles_t: jnp.ndarray) -> jnp.ndarray:
-        """roles_t: [d, 3E] gathered endpoint columns (u | q | i role-major)
+        """roles_t: [3, d, E] stacked gathered endpoints [u, q, i]
         → [out, E] edge features."""
         d = self.feature_dim
-        e = roles_t.shape[1] // 3
-        u, q, i = roles_t[:, :e], roles_t[:, e:2 * e], roles_t[:, 2 * e:]
+        u, q, i = roles_t[0], roles_t[1], roles_t[2]
         if self.max_order == 1:
             parts = [u, q, i]
         else:

@@ -138,9 +138,8 @@ class HGCNLayer(nn.Module):
 
         if isinstance(graph, HyperGraph):
             gather, scatter = make_hyper_ops(graph)
-            g = gather(x_t)                                 # [d, 3E]
-            e = g.shape[1] // 3
-            edge_t = (g[:, :e] + g[:, e:2 * e] + g[:, 2 * e:]) / 3.0
+            g = gather(x_t)                                 # [3, d, E]
+            edge_t = (g[0] + g[1] + g[2]) / 3.0
             if graph.edge_mask is not None:
                 edge_t = edge_t * graph.edge_mask.reshape(1, -1)
             return d_inv_sqrt * scatter(edge_t)

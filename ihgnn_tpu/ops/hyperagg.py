@@ -8,8 +8,8 @@ must be the minor axis.
 Primitives (SURVEY.md §2.3 kernel contract; the reference runs these
 inside torch_sparse/dgl CUDA kernels, /root/reference/Models/GnnLayers.py:233):
 
-* ``gather_roles_t(x_t)``     — [d, N] → [d, 3·E_pad] endpoint features,
-  role-major regions [u | q | i], each region in edge order.
+* ``gather_roles_t(x_t)``     — [d, N] → [3, d, E_pad] endpoint features,
+  roles stacked [u, q, i], each [d, E_pad] slab in edge order.
 * ``scatter_incidence_t(e_t)``— H·E: [d, E_pad] → [d, N].
 * ``spmm_t(x_t)``             — symmetric 2D-adjacency SpMM [d, N] → [d, N].
 
@@ -39,7 +39,9 @@ GSPMD-sharded meshes, log-hypergraphs).
 
 from __future__ import annotations
 
+import contextlib
 import functools
+import threading
 
 import jax
 import jax.numpy as jnp
@@ -64,7 +66,8 @@ def use_pallas(graph) -> bool:
 def strip_kernel_packing(graph):
     """Drop kernel packing so every op dispatches to the XLA fallback —
     the ``--no_pallas`` / RuntimeConfig.use_pallas=False path."""
-    fields = [f for f in ("kp", "pk_col", "pk_val", "pk_ids2d", "pk_tile_ptr")
+    fields = [f for f in ("kp", "skp", "pk_col", "pk_val", "pk_ids2d",
+                          "pk_tile_ptr")
               if getattr(graph, f, None) is not None]
     if not fields:
         return graph
@@ -83,21 +86,74 @@ def _f0_tree(tree):
 # ---------------------------------------------------------------------------
 # Pallas building blocks (operate on kp sub-structures)
 # ---------------------------------------------------------------------------
+#
+# Each block has a pure-jnp reference twin used when neither a TPU backend
+# nor Mosaic interpret mode is active (plain-CPU tests of the *pipeline* —
+# pack construction, shard_map plumbing, custom VJPs). The Mosaic
+# interpreter itself deadlocks when several CPU mesh devices run kernels
+# concurrently under shard_map (io_callback buffer allocation), so sharded
+# CPU tests must run the reference twins; Mosaic-level kernel parity is
+# covered by the single-chip interpret tests + tools/kernel_check.py.
+
+
+_IMPL_PLATFORM = threading.local()
+
+
+@contextlib.contextmanager
+def _impl_platform(platform: str):
+    """Trace-time override of the dispatch platform — the sharded impls
+    set it to the *mesh's* device platform, which can differ from the
+    default backend (e.g. a CPU-device dryrun mesh under a TPU backend)."""
+    prev = getattr(_IMPL_PLATFORM, "value", None)
+    _IMPL_PLATFORM.value = platform
+    try:
+        yield
+    finally:
+        _IMPL_PLATFORM.value = prev
+
+
+def _kernels_active() -> bool:
+    plat = getattr(_IMPL_PLATFORM, "value", None) or jax.default_backend()
+    if plat == "tpu":
+        return True
+    from jax._src import config as _jcfg
+    return (_jcfg.pallas_tpu_interpret_mode_context_manager.value
+            is not None)
 
 
 def _expand(x_pad, ep):
     """Windowed expansion: [d, src_pad] → [d, R*C]."""
+    if not _kernels_active():
+        r, nch, ch = ep.idx.shape
+        idx_abs = (ep.idx.reshape(r, nch * ch)
+                   + ep.win[:, None]).reshape(-1)
+        return jnp.take(x_pad, idx_abs, axis=1)
     return windowed_gather(x_pad, ep.idx, ep.win, ep.w)
+
+
+def _bt(x):
+    """Block transpose [d, R, C] → [d, C, R]."""
+    if not _kernels_active():
+        return jnp.swapaxes(x, 1, 2)
+    return block_transpose(x)
+
+
+def _rlp(x, p):
+    """Row-local permute: out[:, r, c] = x[:, r, p[r, c]]."""
+    if not _kernels_active():
+        return jnp.take_along_axis(x, jnp.broadcast_to(p[None], x.shape),
+                                   axis=2)
+    return row_local_permute(x, p)
 
 
 def _role_forward(x_pad, rp, rows, cols):
     """Role features in edge order: expand∘stage0 (fused) then T·p1·T·p2."""
     d = x_pad.shape[0]
     a0 = _expand(x_pad, rp.gather).reshape(d, rows, cols)
-    t0 = block_transpose(a0)
-    a1 = row_local_permute(t0, rp.fwd_p1)
-    t1 = block_transpose(a1)
-    out = row_local_permute(t1, rp.fwd_p2)
+    t0 = _bt(a0)
+    a1 = _rlp(t0, rp.fwd_p1)
+    t1 = _bt(a1)
+    out = _rlp(t1, rp.fwd_p2)
     return out.reshape(d, rows * cols)
 
 
@@ -106,10 +162,10 @@ def _permute_to_t1(y, rp, rows, cols):
     final Clos stage is absorbed into the segment-sum ids (packing.py), so
     only p0 · T · p1 · T run on device."""
     d = y.shape[0]
-    a0 = row_local_permute(y.reshape(d, rows, cols), rp.bwd_p0)
-    t0 = block_transpose(a0)
-    a1 = row_local_permute(t0, rp.bwd_p1)
-    t1 = block_transpose(a1)
+    a0 = _rlp(y.reshape(d, rows, cols), rp.bwd_p0)
+    t0 = _bt(a0)
+    a1 = _rlp(t0, rp.bwd_p1)
+    t1 = _bt(a1)
     return t1.reshape(d, rows * cols)
 
 
@@ -117,6 +173,12 @@ def _segsum_regions(region_u, region_q_t1, region_i_t1, kp):
     """Segment-sum of the incidence values (full-width [d, E_pad] regions;
     q/i in t1 order, pad tails dropped via sentinel ids) → [d, N]."""
     vals = jnp.concatenate([region_u, region_q_t1, region_i_t1], axis=1)
+    if not _kernels_active():
+        ids = kp.ids2d.reshape(-1)
+        valid = ids < kp.n
+        vals_m = jnp.where(valid[None, :], vals, 0.0)
+        ids_c = jnp.where(valid, ids, 0)
+        return jax.ops.segment_sum(vals_m.T, ids_c, num_segments=kp.n).T
     return csr_segment_sum_t(vals, kp.ids2d, kp.tile_ptr, kp.n,
                              out_transposed=True)
 
@@ -125,7 +187,7 @@ def _gather_impl(x_pad, kp):
     u = _expand(x_pad, kp.u_expand)
     q = _role_forward(x_pad, kp.q, kp.rows, kp.cols)
     i = _role_forward(x_pad, kp.i, kp.rows, kp.cols)
-    return jnp.concatenate([u, q, i], axis=1)
+    return jnp.stack([u, q, i], axis=0)
 
 
 def _scatter_impl(edge_t, kp):
@@ -149,11 +211,9 @@ def _gather_fwd(x_pad, kp):
 
 
 def _gather_bwd(kp, cot):
-    e_pad = kp.e_pad
-    cot_u = cot[:, :e_pad]
-    cot_q = _permute_to_t1(cot[:, e_pad:2 * e_pad], kp.q, kp.rows, kp.cols)
-    cot_i = _permute_to_t1(cot[:, 2 * e_pad:], kp.i, kp.rows, kp.cols)
-    grad = _segsum_regions(cot_u, cot_q, cot_i, kp)
+    cot_q = _permute_to_t1(cot[1], kp.q, kp.rows, kp.cols)
+    cot_i = _permute_to_t1(cot[2], kp.i, kp.rows, kp.cols)
+    grad = _segsum_regions(cot[0], cot_q, cot_i, kp)
     grad = jnp.pad(grad, ((0, 0), (0, kp.src_pad - kp.n)))
     return grad, _f0_tree(kp)
 
@@ -191,6 +251,120 @@ _scatter_pallas.defvjp(_scatter_fwd, _scatter_bwd)
 
 
 # ---------------------------------------------------------------------------
+# sharded primitives (shard_map over the mesh data axis, per-shard packs)
+# ---------------------------------------------------------------------------
+#
+# The custom VJP sits OUTSIDE the shard_map: fwd/bwd each wrap the
+# non-differentiated per-shard Pallas impls, so autodiff never traverses
+# the manual-mesh region. Per-shard layout: each shard owns a contiguous
+# slice of the (u-sorted) edge axis — still u-sorted, so the per-shard
+# packs follow the exact single-chip construction. Node features enter
+# replicated; scatter outputs psum over the data axis.
+
+
+def _kp_local(kp_stacked):
+    """Strip the leading shard axis a shard_map body sees ([1, ...])."""
+    return jax.tree.map(lambda a: a[0], kp_stacked)
+
+
+def _sharded_specs(skp):
+    from jax.sharding import PartitionSpec as P
+
+    from ihgnn_tpu.parallel.mesh import DATA_AXIS
+    mesh = skp.mesh
+    platform = mesh.devices.flat[0].platform
+    return P, DATA_AXIS, mesh, platform
+
+
+def _sh_gather_impl(x_pad, skp):
+    P, data, mesh, plat = _sharded_specs(skp)
+
+    def body(x_loc, kp_st):
+        kp = _kp_local(kp_st)
+        return _gather_impl(x_loc, kp)[:, :, :kp.e]     # [3, d, e_shard]
+
+    with _impl_platform(plat):
+        return jax.shard_map(body, mesh=mesh, in_specs=(P(), P(data)),
+                             out_specs=P(None, None, data),
+                             check_vma=False)(x_pad, skp.kp)
+
+
+def _sh_scatter_impl(edge_t, skp):
+    P, data, mesh, plat = _sharded_specs(skp)
+
+    def body(e_loc, kp_st):
+        kp = _kp_local(kp_st)
+        e_pad = jnp.pad(e_loc, ((0, 0), (0, kp.e_pad - kp.e)))
+        return jax.lax.psum(_scatter_impl(e_pad, kp), data)
+
+    with _impl_platform(plat):
+        return jax.shard_map(body, mesh=mesh,
+                             in_specs=(P(None, data), P(data)),
+                             out_specs=P(), check_vma=False)(edge_t, skp.kp)
+
+
+@jax.custom_vjp
+def _gather_roles_sharded(x_pad, skp):
+    return _sh_gather_impl(x_pad, skp)
+
+
+def _sh_gather_fwd(x_pad, skp):
+    return _sh_gather_impl(x_pad, skp), skp
+
+
+def _sh_gather_bwd(skp, cot):
+    P, data, mesh, plat = _sharded_specs(skp)
+
+    def body(cot_loc, kp_st):                           # cot_loc [3, d, e_shard]
+        kp = _kp_local(kp_st)
+        cp = jnp.pad(cot_loc, ((0, 0), (0, 0), (0, kp.e_pad - kp.e)))
+        cot_q = _permute_to_t1(cp[1], kp.q, kp.rows, kp.cols)
+        cot_i = _permute_to_t1(cp[2], kp.i, kp.rows, kp.cols)
+        grad = _segsum_regions(cp[0], cot_q, cot_i, kp)
+        grad = jnp.pad(grad, ((0, 0), (0, kp.src_pad - kp.n)))
+        return jax.lax.psum(grad, data)
+
+    with _impl_platform(plat):
+        grad = jax.shard_map(body, mesh=mesh,
+                             in_specs=(P(None, None, data), P(data)),
+                             out_specs=P(), check_vma=False)(cot, skp.kp)
+    return grad, _f0_tree(skp)
+
+
+_gather_roles_sharded.defvjp(_sh_gather_fwd, _sh_gather_bwd)
+
+
+@jax.custom_vjp
+def _scatter_sharded(edge_t, skp):
+    return _sh_scatter_impl(edge_t, skp)
+
+
+def _sh_scatter_fwd(edge_t, skp):
+    return _sh_scatter_impl(edge_t, skp), skp
+
+
+def _sh_scatter_bwd(skp, cot):
+    P, data, mesh, plat = _sharded_specs(skp)
+
+    def body(cot_n, kp_st):
+        kp = _kp_local(kp_st)
+        cot_pad = jnp.pad(cot_n, ((0, 0), (0, kp.src_pad - kp.n)))
+        grad = (_expand(cot_pad, kp.u_expand)
+                + _role_forward(cot_pad, kp.q, kp.rows, kp.cols)
+                + _role_forward(cot_pad, kp.i, kp.rows, kp.cols))
+        return grad[:, :kp.e]
+
+    with _impl_platform(plat):
+        grad = jax.shard_map(body, mesh=mesh, in_specs=(P(), P(data)),
+                             out_specs=P(None, data), check_vma=False)(
+                                 cot, skp.kp)
+    return grad, _f0_tree(skp)
+
+
+_scatter_sharded.defvjp(_sh_scatter_fwd, _sh_scatter_bwd)
+
+
+# ---------------------------------------------------------------------------
 # public op factories
 # ---------------------------------------------------------------------------
 
@@ -206,21 +380,35 @@ def make_hyper_ops(graph: HyperGraph):
     """Returns (gather_roles_t, scatter_incidence_t) bound to one graph's
     static packing. Both operate feature-major.
 
-    Pallas path widths: gather returns [d, 3·E_pad] (regions at E_pad
-    stride, tail columns junk past E); scatter consumes [d, E_pad] and
-    ignores tail columns. XLA path widths are exact ([d, 3E] / [d, E]).
-    Layers split regions by thirds, so both contracts compose identically.
+    Contract: gather returns [3, d, E'] stacked roles [u, q, i] in edge
+    order; scatter consumes [d, E']. E' is exact E on the XLA and sharded
+    paths; on the single-chip Pallas path E' = kp.e_pad (tail columns junk
+    past E). Layers size everything off the arrays, so the contracts
+    compose identically.
     """
     n = graph.node_count
+
+    if getattr(graph, "skp", None) is not None:
+        skp = graph.skp
+        src_pad = skp.kp.src_pad
+
+        def gather_roles_t(x_t):
+            x_pad = jnp.pad(x_t, ((0, 0), (0, src_pad - n)))
+            return _gather_roles_sharded(x_pad, skp)
+
+        def scatter_incidence_t(edge_t):
+            return _scatter_sharded(edge_t, skp)
+
+        return gather_roles_t, scatter_incidence_t
 
     if not use_pallas(graph):
         i3_flat = role_major_i3(graph)
 
         def gather_roles_t(x_t):
             e = i3_flat.shape[0] // 3
-            return jnp.concatenate(
+            return jnp.stack(
                 [x_t[:, i3_flat[:e]], x_t[:, i3_flat[e:2 * e]],
-                 x_t[:, i3_flat[2 * e:]]], axis=1)
+                 x_t[:, i3_flat[2 * e:]]], axis=0)
 
         def scatter_incidence_t(edge_t):
             out = xla_ops.hyperedge_scatter(edge_t.T, graph.inc_edge,

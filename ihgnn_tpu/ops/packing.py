@@ -24,6 +24,7 @@ from __future__ import annotations
 from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import struct
@@ -148,13 +149,12 @@ def _role_pack(role_ids: np.ndarray, order: np.ndarray, rank: np.ndarray,
     return rp, ids_t1.reshape(-1).astype(np.int32), sorted_ids
 
 
-def build_hyper_kernel_pack(i3: np.ndarray, inc_node: np.ndarray,
-                            node_count: int, cols: int = 1024
+def build_hyper_kernel_pack(i3: np.ndarray, node_count: int, cols: int = 1024
                             ) -> Optional[HyperKernelPack]:
     """Pack a HyperGraph's structure for the Pallas pipeline, or None when
     any banded-gather row exceeds W_CAP (XLA fallback).
 
-    i3: [E, 3] endpoint ids, edge order (u-sorted). inc_node: [3E] sorted.
+    i3: [E, 3] endpoint ids, edge order (u-sorted).
     """
     e = i3.shape[0]
     if e == 0:
@@ -216,3 +216,76 @@ def build_hyper_kernel_pack(i3: np.ndarray, inc_node: np.ndarray,
         e=e, n=int(node_count), e_pad=e_pad, rows=rows, cols=cols,
         src_pad=src_pad, k_pad=k_pad,
     )
+
+
+@struct.dataclass
+class ShardedHyperPack:
+    """Per-edge-shard kernel packs, stacked for ``shard_map`` dispatch.
+
+    ``kp`` holds one HyperKernelPack whose array leaves carry a leading
+    shard axis [P, ...] (sharded over the mesh's data axis); static fields
+    are unified across shards (max window widths / src_pad, identical
+    grid). The mesh rides along as static metadata so ops/hyperagg can
+    build the shard_map without extra plumbing.
+    """
+    kp: HyperKernelPack
+    mesh: Any = struct.field(pytree_node=False, default=None)
+    n_shards: int = struct.field(pytree_node=False, default=1)
+
+
+def _with_expand_w(ep: ExpandPack, w: int, src_pad: int) -> ExpandPack:
+    return ExpandPack(idx=ep.idx, win=ep.win, w=w, src_pad=src_pad)
+
+
+def build_sharded_hyper_pack(i3: np.ndarray, node_count: int, n_shards: int,
+                             mesh: Any, cols: int = 1024
+                             ) -> Optional[ShardedHyperPack]:
+    """Build per-shard packs over contiguous edge slices (edge order is
+    u-sorted, so every contiguous slice stays u-sorted) and stack them.
+
+    i3 length must be divisible by ``n_shards`` (pad_hypergraph_for_mesh
+    guarantees it). Returns None when any shard falls back (W_CAP) or the
+    per-shard grids disagree (cannot happen for equal slice sizes, checked
+    defensively).
+    """
+    e = i3.shape[0]
+    if e == 0 or e % n_shards != 0:
+        return None
+    es = e // n_shards
+    packs = []
+    for s in range(n_shards):
+        kp = build_hyper_kernel_pack(i3[s * es:(s + 1) * es], node_count,
+                                     cols)
+        if kp is None:
+            return None
+        packs.append(kp)
+
+    first = packs[0]
+    if any((p.rows, p.cols, p.e, p.k_pad, p.n) !=
+           (first.rows, first.cols, first.e, first.k_pad, first.n)
+           for p in packs):
+        return None
+
+    # unify the static window widths / source padding across shards so the
+    # stacked arrays share one static signature
+    w_u = max(p.u_expand.w for p in packs)
+    w_q = max(p.q.gather.w for p in packs)
+    w_i = max(p.i.gather.w for p in packs)
+    src_pad = max(max(p.src_pad for p in packs),
+                  max(int(np.asarray(p.u_expand.win).max()) + w_u
+                      for p in packs),
+                  max(int(np.asarray(p.q.gather.win).max()) + w_q
+                      for p in packs),
+                  max(int(np.asarray(p.i.gather.win).max()) + w_i
+                      for p in packs))
+    unified = [
+        p.replace(
+            u_expand=_with_expand_w(p.u_expand, w_u, src_pad),
+            q=p.q.replace(gather=_with_expand_w(p.q.gather, w_q, src_pad)),
+            i=p.i.replace(gather=_with_expand_w(p.i.gather, w_i, src_pad)),
+            src_pad=src_pad,
+        )
+        for p in packs
+    ]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *unified)
+    return ShardedHyperPack(kp=stacked, mesh=mesh, n_shards=n_shards)

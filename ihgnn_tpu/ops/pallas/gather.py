@@ -115,14 +115,17 @@ def _gather_kernel(win_ref, idx_ref, x_hbm, o_ref, xwin, sems, ctr,
     x = xwin[slot]                                 # [d, w]
     xhi = x.astype(jnp.bfloat16)
     xlo = (x - xhi.astype(jnp.float32)).astype(jnp.bfloat16)
+    # M-packed hi/lo split: one MXU pass computes both halves (see
+    # permute.py — M = 2d ≤ 128 rides the array's unused M capacity)
+    xs = jnp.concatenate([xhi, xlo], axis=0)       # [2d, w]
+    d = x.shape[0]
     n_chunks = idx_ref.shape[1]
     for j in range(n_chunks):
         rel = idx_ref[0, j, :].reshape(1, CHUNK)
         onehot = (jax.lax.broadcasted_iota(jnp.int32, (w, CHUNK), 0)
                   == rel).astype(jnp.bfloat16)
-        acc = jnp.dot(xhi, onehot, preferred_element_type=jnp.float32)
-        acc += jnp.dot(xlo, onehot, preferred_element_type=jnp.float32)
-        o_ref[:, j * CHUNK:(j + 1) * CHUNK] = acc
+        both = jnp.dot(xs, onehot, preferred_element_type=jnp.float32)
+        o_ref[:, j * CHUNK:(j + 1) * CHUNK] = both[:d] + both[d:]
 
 
 @functools.partial(jax.jit, static_argnames=("w", "interpret"))

@@ -52,20 +52,23 @@ def _local_permute_kernel(x_ref, p_ref, o_ref):
     """Block [d, ROWS, C] + perms [ROWS, C] → permuted block.
 
     One one-hot matmul per (row, CHUNK output columns): onehot[cc, k] =
-    (p[r, j*CHUNK + k] == cc), out_chunk = x_row · onehot. Two-pass bf16
-    hi/lo value split keeps ~f32 accuracy at 2 MXU passes (CLAUDE.md)."""
+    (p[r, j*CHUNK + k] == cc), out_chunk = x_row · onehot. The bf16 hi/lo
+    value split (~f32 accuracy, CLAUDE.md) is M-packed: hi and lo stack
+    along the feature axis into one [2d, C] operand, so both halves ride a
+    single MXU pass (M = 2d ≤ 128 is free — the array is M-underutilized
+    at d = 32 anyway)."""
     d, rows, c = x_ref.shape
     for r in range(rows):
         x = x_ref[:, r, :]                       # [d, C]
         xhi = x.astype(jnp.bfloat16)
         xlo = (x - xhi.astype(jnp.float32)).astype(jnp.bfloat16)
+        xs = jnp.concatenate([xhi, xlo], axis=0)  # [2d, C]
         for j in range(c // CHUNK):
             p = p_ref[r, j * CHUNK:(j + 1) * CHUNK].reshape(1, CHUNK)
             onehot = (jax.lax.broadcasted_iota(jnp.int32, (c, CHUNK), 0)
                       == p).astype(jnp.bfloat16)
-            acc = jnp.dot(xhi, onehot, preferred_element_type=jnp.float32)
-            acc += jnp.dot(xlo, onehot, preferred_element_type=jnp.float32)
-            o_ref[:, r, j * CHUNK:(j + 1) * CHUNK] = acc
+            both = jnp.dot(xs, onehot, preferred_element_type=jnp.float32)
+            o_ref[:, r, j * CHUNK:(j + 1) * CHUNK] = both[:d] + both[d:]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -141,22 +141,27 @@ def _segsum_kernel(tile_ptr_ref, values_t_hbm, ids_hbm, out_ref, acc, vbuf,
             local = nodes - node_base
             onehot = (jax.lax.broadcasted_iota(jnp.int32, (TILE_N, SUB), 0)
                       == local).astype(jnp.bfloat16)
-            # two-pass bf16 hi/lo split: ~f32 accuracy at 2 MXU passes
-            # (vs 6 for Precision.HIGHEST); the one-hot side is exact
+            # bf16 hi/lo split (~f32 accuracy; the one-hot side is exact),
+            # M-packed: hi and lo stack along the feature axis so a single
+            # MXU pass computes both (M = 2d ≤ 128 is spare capacity at
+            # d = 32; see permute.py)
             v = vbuf[slot][:, j * SUB:(j + 1) * SUB]
             vhi = v.astype(jnp.bfloat16)
             vlo = (v - vhi.astype(jnp.float32)).astype(jnp.bfloat16)
+            vs = jnp.concatenate([vhi, vlo], axis=0)     # [2d, SUB]
+            d = v.shape[0]
             dims = (((1,), (1,)), ((), ()))
-            for part in (vhi, vlo):
-                if out_transposed:
-                    # acc [d, TILE_N] += v [d, SUB] · onehotᵀ
-                    acc[...] += jax.lax.dot_general(
-                        part, onehot, dimension_numbers=dims,
-                        preferred_element_type=jnp.float32)
-                else:
-                    acc[...] += jax.lax.dot_general(
-                        onehot, part, dimension_numbers=dims,
-                        preferred_element_type=jnp.float32)
+            if out_transposed:
+                # both [2d, TILE_N] = vs [2d, SUB] · onehotᵀ
+                both = jax.lax.dot_general(
+                    vs, onehot, dimension_numbers=dims,
+                    preferred_element_type=jnp.float32)
+                acc[...] += both[:d] + both[d:]
+            else:
+                both = jax.lax.dot_general(
+                    onehot, vs, dimension_numbers=dims,
+                    preferred_element_type=jnp.float32)
+                acc[...] += both[:, :d] + both[:, d:]
         return 0
 
     jax.lax.fori_loop(g0, g1 + 1, body, 0, unroll=False)

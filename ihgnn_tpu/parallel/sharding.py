@@ -85,8 +85,13 @@ def graph_sharding(graph, mesh: Mesh):
         mask = None if graph.edge_mask is None else edge2d
         kp = (None if graph.kp is None
               else jax.tree.map(lambda _: rep, graph.kp))
+        # stacked per-shard packs: leading shard axis over 'data'
+        skp = None
+        if graph.skp is not None:
+            shard0 = NamedSharding(mesh, P(DATA_AXIS))
+            skp = jax.tree.map(lambda _: shard0, graph.skp)
         return graph.replace(i3=edge2d, dv=rep, inc_node=edge, inc_edge=edge,
-                             edge_mask=mask, kp=kp)
+                             edge_mask=mask, kp=kp, skp=skp)
     if isinstance(graph, Graph2D):
         pk = {f: (None if getattr(graph, f) is None else rep)
               for f in ("pk_col", "pk_val", "pk_ids2d", "pk_tile_ptr")}
@@ -140,26 +145,52 @@ def pad_graph2d_for_mesh(graph: Graph2D, data_parallel: int) -> Graph2D:
     )
 
 
-def pad_hypergraph_for_mesh(graph: HyperGraph, data_parallel: int) -> HyperGraph:
+def pad_hypergraph_for_mesh(graph: HyperGraph, data_parallel: int,
+                            mesh: Mesh = None,
+                            pack_kernels: bool = None) -> HyperGraph:
     """Pad edge count to a multiple of the data axis so edge arrays shard
-    evenly. Padded i3 rows point at node 0 but their edge features are
-    zeroed via ``edge_mask`` handling in the layers; padded incidence
-    entries target the last node with edge ids of padded (zero) edges."""
+    evenly, and (when a mesh is given) build the per-shard Pallas kernel
+    packs (ops/packing.ShardedHyperPack) so the fast path survives
+    sharding.
+
+    Padded i3 rows repeat the last real edge (keeps the edge axis
+    u-sorted — required by the per-shard packs); their features are zeroed
+    via ``edge_mask`` in the layers, so where they point is immaterial.
+    Padded incidence entries target the max node id with padded-edge ids
+    (keeps node-major sortedness for the XLA path).
+
+    ``pack_kernels``: None = auto (pack when the default backend is TPU —
+    Mosaic kernels don't compile on CPU outside interpreter mode).
+    """
     e = graph.edge_count
     e_pad = round_up(max(e, 1), data_parallel)
-    if e_pad == e:
-        return graph
     n_extra = e_pad - e
-    i3 = np.concatenate([graph.i3, np.zeros((n_extra, 3), np.int32)], axis=0)
-    # incidence gets 3 entries per padded edge, appended at the max node id
-    # (keeps node-major sortedness); contributions are zero via edge masking
-    last_node = graph.node_count - 1
-    inc_node = np.concatenate([graph.inc_node,
-                               np.full(3 * n_extra, last_node, np.int32)])
-    inc_edge = np.concatenate([graph.inc_edge,
-                               np.repeat(np.arange(e, e_pad, dtype=np.int32), 3)])
-    mask = np.zeros((e_pad, 1), np.float32)
-    mask[:e] = 1.0
-    return HyperGraph(i3=i3, dv=graph.dv, inc_node=inc_node, inc_edge=inc_edge,
-                      edge_mask=mask, node_count=graph.node_count,
-                      edge_count=int(e_pad))
+    if n_extra:
+        i3 = np.concatenate(
+            [np.asarray(graph.i3),
+             np.repeat(np.asarray(graph.i3[-1:]), n_extra, axis=0)], axis=0)
+        last_node = graph.node_count - 1
+        inc_node = np.concatenate([graph.inc_node,
+                                   np.full(3 * n_extra, last_node, np.int32)])
+        inc_edge = np.concatenate(
+            [graph.inc_edge,
+             np.repeat(np.arange(e, e_pad, dtype=np.int32), 3)])
+        mask = np.zeros((e_pad, 1), np.float32)
+        mask[:e] = 1.0
+        graph = HyperGraph(i3=i3.astype(np.int32), dv=graph.dv,
+                           inc_node=inc_node, inc_edge=inc_edge,
+                           edge_mask=mask, node_count=graph.node_count,
+                           edge_count=int(e_pad))
+    if pack_kernels is None:
+        pack_kernels = jax.default_backend() == "tpu"
+    if mesh is not None:
+        skp = None
+        if pack_kernels:
+            from ihgnn_tpu.ops.packing import build_sharded_hyper_pack
+            skp = build_sharded_hyper_pack(
+                np.asarray(graph.i3), graph.node_count,
+                max(1, data_parallel), mesh)
+        # the unsharded single-chip pack cannot run under a mesh (a bare
+        # pallas_call is not GSPMD-partitionable) — drop it either way
+        graph = graph.replace(skp=skp, kp=None)
+    return graph

@@ -19,9 +19,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _take_kernel(x_ref, p_ref, o_ref):
+    d = x_ref.shape[0]
     rows = x_ref.shape[1]
     for r in range(rows):
-        o_ref[:, r, :] = jnp.take(x_ref[:, r, :], p_ref[r, :], axis=1)
+        idx = jnp.broadcast_to(p_ref[r, :].reshape(1, -1),
+                               (d, p_ref.shape[1]))
+        o_ref[:, r, :] = jnp.take_along_axis(x_ref[:, r, :], idx, axis=1)
 
 
 def _onehot_kernel(x_ref, p_ref, o_ref):
