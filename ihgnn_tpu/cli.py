@@ -218,8 +218,19 @@ def run(cfg: Config) -> MetricsCollection:
                           f"absmean={s['absmean']:.6f} std={s['std']:.6f}")
 
         if schedule.is_store_epoch(epoch):
-            name = save_checkpoint(result_dir, epoch, jax.device_get(state))
-            log_print(f"checkpoint saved: {name}")
+            if jax.process_count() > 1:
+                # device_get cannot fetch non-addressable (model-sharded)
+                # table shards; gather the full state on every process and
+                # let process 0 write it
+                from jax.experimental import multihost_utils
+                host_state = multihost_utils.process_allgather(state)
+                if jax.process_index() == 0:
+                    name = save_checkpoint(result_dir, epoch, host_state)
+                    log_print(f"checkpoint saved: {name}")
+            else:
+                name = save_checkpoint(result_dir, epoch,
+                                       jax.device_get(state))
+                log_print(f"checkpoint saved: {name}")
 
         if schedule.is_test_epoch(epoch):
             collect = bool(cfg.io.long_tail_filename)

@@ -287,10 +287,16 @@ class Srrl(nn.Module):
         return jnp.concatenate([u, q, i], axis=0)
 
     def score_all_items(self, features: jnp.ndarray, users: jnp.ndarray,
-                        queries: jnp.ndarray) -> jnp.ndarray:
-        """[B] (u, q) pairs → [B, I] catalog scores. The MLP scorer is
-        pairwise in (row, item) so it materializes a [B, I, 2d] intermediate
-        — the CLI uses a smaller eval batch for Srrl to bound memory."""
+                        queries: jnp.ndarray,
+                        item_chunk: int = 8192) -> jnp.ndarray:
+        """[B] (u, q) pairs → [B, I] catalog scores.
+
+        The MLP scorer is pairwise in (row, item); the (u, q) branch is
+        item-independent so it is computed once per row, and the item axis
+        is processed in ``item_chunk`` blocks under ``lax.map`` — peak
+        intermediate memory is O(B * item_chunk * d) instead of O(B * I * d),
+        so full-catalog eval scales to stress-size catalogs (round-1
+        VERDICT item 9)."""
         u_lat = features[users]
         q_lat = features[queries + self.user_count]
         i_lat = features[self.user_count + self.query_count:]
@@ -299,7 +305,25 @@ class Srrl(nn.Module):
 
         B, d = u_lat.shape
         I = i_lat.shape[0]
-        u_b = jnp.broadcast_to(u_lat[:, None, :], (B, I, d))
-        q_b = jnp.broadcast_to(q_lat[:, None, :], (B, I, d))
-        i_b = jnp.broadcast_to(i_lat[None, :, :], (B, I, d))
-        return self._score_rows(u_b, q_b, i_b, None)
+        # uq branch does not depend on the item: hoist out of the chunk loop
+        uq = self.ps_mlp_uq(_l2_normalize(
+            jnp.concatenate([u_lat, q_lat], -1)))                    # [B, h]
+        # unbind → pure (params, x) applications usable inside lax.map
+        ui_mod, ui_vars = self.ps_mlp_ui.unbind()
+        pred_mod, pred_vars = self.ps_mlp_pred.unbind()
+
+        c = min(I, item_chunk)
+        n_chunks = -(-I // c)
+        i_pad = jnp.pad(i_lat, ((0, n_chunks * c - I), (0, 0)))
+
+        def body(i_chunk):                                           # [c, d]
+            u_b = jnp.broadcast_to(u_lat[:, None, :], (B, c, d))
+            i_b = jnp.broadcast_to(i_chunk[None, :, :], (B, c, d))
+            ui = ui_mod.apply(ui_vars, _l2_normalize(
+                jnp.concatenate([u_b, i_b], -1)))                    # [B, c, h]
+            uq_b = jnp.broadcast_to(uq[:, None, :], (B, c, uq.shape[-1]))
+            return pred_mod.apply(pred_vars, _l2_normalize(
+                jnp.concatenate([uq_b, ui], -1)))[..., 0]            # [B, c]
+
+        scores = jax.lax.map(body, i_pad.reshape(n_chunks, c, d))
+        return jnp.moveaxis(scores, 0, 1).reshape(B, n_chunks * c)[:, :I]

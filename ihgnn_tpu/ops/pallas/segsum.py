@@ -165,6 +165,21 @@ def _segsum_kernel(tile_ptr_ref, values_t_hbm, ids_hbm, out_ref, acc, vbuf,
         return 0
 
     jax.lax.fori_loop(g0, g1 + 1, body, 0, unroll=False)
+
+    # drain: the global prefetch window can extend past the last block any
+    # tile consumes (e.g. the region-sentinel tail of the fused hypergraph
+    # layout ends after the final node tile's range) — the kernel must not
+    # exit with started-but-unwaited DMAs or Mosaic reports a pending
+    # semaphore as an internal error
+    @pl.when(t == pl.num_programs(0) - 1)
+    def _():
+        def wfin(gg, _):
+            for dma in dmas(gg):
+                dma.wait()
+            return 0
+
+        jax.lax.fori_loop(ctr[1], ctr[0], wfin, 0)
+
     out_ref[...] = acc[...]
 
 

@@ -29,6 +29,28 @@ from ihgnn_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 TABLE_PARAM_NAMES = ("user_table", "item_table", "vocab_table")
 
 
+def put_global(x, sharding: NamedSharding):
+    """``device_put`` onto a (possibly multi-process) global mesh.
+
+    Single-process: plain ``jax.device_put``. Multi-process: every process
+    passes the SAME global value (host replicas are kept identical — the
+    sampler and graph builders are seed-deterministic), and each process
+    places only its addressable shards, assembled into a global array with
+    ``make_array_from_single_device_arrays``. A plain device_put would
+    raise on non-addressable devices (VERDICT round-1 item 3).
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    x = np.asarray(x)
+    idx_map = sharding.addressable_devices_indices_map(x.shape)
+    arrs = [jax.device_put(x[idx], d) for d, idx in idx_map.items()]
+    return jax.make_array_from_single_device_arrays(x.shape, sharding, arrs)
+
+
+def put_global_tree(tree, sharding_tree):
+    return jax.tree.map(put_global, tree, sharding_tree)
+
+
 def _param_spec_tree(params: Any) -> Any:
     """PartitionSpec tree matching a param pytree: tables row-sharded on
     'model', everything else replicated."""
@@ -72,7 +94,7 @@ def state_sharding(state, mesh: Mesh):
 
 
 def shard_state(state, mesh: Mesh):
-    return jax.device_put(state, state_sharding(state, mesh))
+    return put_global_tree(state, state_sharding(state, mesh))
 
 
 def graph_sharding(graph, mesh: Mesh):
@@ -104,7 +126,7 @@ def graph_sharding(graph, mesh: Mesh):
 
 
 def shard_graph(graph, mesh: Mesh):
-    return jax.device_put(graph, graph_sharding(graph, mesh))
+    return put_global_tree(graph, graph_sharding(graph, mesh))
 
 
 def batch_sharding(batch, mesh: Mesh):
@@ -117,7 +139,7 @@ def batch_sharding(batch, mesh: Mesh):
 
 
 def shard_batch(batch, mesh: Mesh):
-    return jax.device_put(batch, batch_sharding(batch, mesh))
+    return put_global_tree(batch, batch_sharding(batch, mesh))
 
 
 def round_up(x: int, m: int) -> int:

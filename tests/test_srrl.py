@@ -136,3 +136,29 @@ def test_kg_sampler_nonrandom_negatives(setup):
         pool = mp.negative_tails.get((int(u), int(q)))
         if pool:
             assert set(negs[r]) <= set(pool)
+
+
+def test_chunked_catalog_scorer_matches_rowwise(setup):
+    """score_all_items (item-chunked lax.map) == direct per-row scoring.
+
+    MLP scorer path: cfg hardcodes prediction='mlp' via init_srrl; chunk
+    size 4 forces multiple chunks (I=15 → 4 chunks incl. a padded tail)."""
+    cfg, train, _, _, model, state, *_ = setup
+    feats = model.apply(state.params, train.query_words,
+                        train.query_word_counts, method=model.all_features)
+    users = jnp.asarray([0, 3, 7])
+    queries = jnp.asarray([1, 0, 5])
+    scores = model.apply(state.params, feats, users, queries, 4,
+                         method=model.score_all_items)
+    assert scores.shape == (3, train.item_count)
+
+    # reference: score each (u, q) row against every item via the training
+    # row scorer (same math, no chunking)
+    items = jnp.arange(train.item_count, dtype=jnp.int32)
+    for r in range(3):
+        u_r = jnp.full_like(items, users[r])
+        q_r = jnp.full_like(items, queries[r])
+        ref = model.apply(state.params, train.query_words,
+                          train.query_word_counts, u_r, q_r, items)
+        np.testing.assert_allclose(np.asarray(scores[r]), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
