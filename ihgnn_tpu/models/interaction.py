@@ -59,17 +59,69 @@ class _Aggregation(nn.Module):
                             name="dense")(parts)
 
 
+class _DenseParams(nn.Module):
+    """Bare Linear parameters — same names/shapes/init as _SplitDenseT so
+    the fused and fallback interaction paths share checkpoints."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", torch_linear_kernel(),
+                            (self.in_features, self.features))
+        bias = self.param("bias", torch_linear_bias(self.in_features),
+                          (self.features,))
+        return kernel, bias
+
+
+class _FusedAggregation(nn.Module):
+    """Same params as _Aggregation, applied through the fused Pallas
+    interaction kernel (ops/pallas/interact.py) — the hadamard parts are
+    never materialized in HBM."""
+
+    features: int
+    in_features: int
+    order: int
+
+    @nn.compact
+    def __call__(self, u, q, i) -> jnp.ndarray:
+        from ihgnn_tpu.ops.pallas.interact import fused_interaction
+
+        kernel, bias = _DenseParams(self.features, self.in_features,
+                                    name="dense")()
+        return fused_interaction(u, q, i, kernel, bias[:, None],
+                                 self.order)
+
+
 class FeatureInteractor(nn.Module):
     max_order: int          # 1, 2 or 3
     feature_dim: int        # d of the (already transformed) node features
     output_dim: int
 
     @nn.compact
-    def __call__(self, roles_t: jnp.ndarray) -> jnp.ndarray:
-        """roles_t: [3, d, E] stacked gathered endpoints [u, q, i]
-        → [out, E] edge features."""
+    def __call__(self, roles_t, fused_ok: bool = False) -> jnp.ndarray:
+        """roles_t: 3-tuple (u, q, i) of [d, E] gathered endpoints in edge
+        order → [out, E] edge features.
+
+        ``fused_ok`` is set by the caller when the edge arrays are whole
+        on one device (the single-chip Pallas path) — a naked pallas_call
+        must not run over GSPMD-sharded inputs, so the sharded path keeps
+        the split-matmul fallback, which XLA partitions along E."""
+        from ihgnn_tpu.ops.hyperagg import _kernels_active
+        from ihgnn_tpu.ops.pallas.interact import BLK, ORDER_PARTS
+
         d = self.feature_dim
         u, q, i = roles_t[0], roles_t[1], roles_t[2]
+        n_parts = ORDER_PARTS[self.max_order]
+
+        if fused_ok and _kernels_active() and u.shape[1] % BLK == 0:
+            # param name nesting matches the fallback ("aggregation"/
+            # "dense"/kernel+bias), so the two paths share checkpoints
+            return _FusedAggregation(
+                self.output_dim, n_parts * d, self.max_order,
+                name="aggregation")(u, q, i)
+
         if self.max_order == 1:
             parts = [u, q, i]
         else:
@@ -77,5 +129,5 @@ class FeatureInteractor(nn.Module):
             parts = [u, q, i, uq, qi, iu]
             if self.max_order == 3:
                 parts.append(uq * i)
-        return _Aggregation(self.output_dim, len(parts) * d, d,
+        return _Aggregation(self.output_dim, n_parts * d, d,
                             name="aggregation")(parts)

@@ -33,7 +33,7 @@ from ihgnn_tpu.models.initializers import (LEAKY_RELU_GAIN, torch_linear_bias,
                                            xavier_uniform)
 from ihgnn_tpu.models.interaction import FeatureInteractor
 from ihgnn_tpu.ops import segment_softmax, segment_sum
-from ihgnn_tpu.ops.hyperagg import make_hyper_ops, make_spmm_op
+from ihgnn_tpu.ops.hyperagg import make_hyper_ops, make_spmm_op, use_pallas
 
 
 def _dv_inv_sqrt_t(graph) -> jnp.ndarray:
@@ -168,7 +168,7 @@ class IHGNNLayer(nn.Module):
         gather, scatter = make_hyper_ops(graph)
         edge_t = FeatureInteractor(self.interaction_order, self.out_dim,
                                    self.out_dim, name="interactor")(
-                                       gather(x_t))
+                                       gather(x_t), fused_ok=use_pallas(graph))
         if graph.edge_mask is not None:
             edge_t = edge_t * graph.edge_mask.reshape(1, -1)
 

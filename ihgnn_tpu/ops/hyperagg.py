@@ -8,8 +8,8 @@ must be the minor axis.
 Primitives (SURVEY.md §2.3 kernel contract; the reference runs these
 inside torch_sparse/dgl CUDA kernels, /root/reference/Models/GnnLayers.py:233):
 
-* ``gather_roles_t(x_t)``     — [d, N] → [3, d, E_pad] endpoint features,
-  roles stacked [u, q, i], each [d, E_pad] slab in edge order.
+* ``gather_roles_t(x_t)``     — [d, N] → 3-tuple (u, q, i) of [d, E_pad]
+  endpoint features, each in edge order.
 * ``scatter_incidence_t(e_t)``— H·E: [d, E_pad] → [d, N].
 * ``spmm_t(x_t)``             — symmetric 2D-adjacency SpMM [d, N] → [d, N].
 
@@ -187,7 +187,7 @@ def _gather_impl(x_pad, kp):
     u = _expand(x_pad, kp.u_expand)
     q = _role_forward(x_pad, kp.q, kp.rows, kp.cols)
     i = _role_forward(x_pad, kp.i, kp.rows, kp.cols)
-    return jnp.stack([u, q, i], axis=0)
+    return u, q, i
 
 
 def _scatter_impl(edge_t, kp):
@@ -211,9 +211,10 @@ def _gather_fwd(x_pad, kp):
 
 
 def _gather_bwd(kp, cot):
-    cot_q = _permute_to_t1(cot[1], kp.q, kp.rows, kp.cols)
-    cot_i = _permute_to_t1(cot[2], kp.i, kp.rows, kp.cols)
-    grad = _segsum_regions(cot[0], cot_q, cot_i, kp)
+    cu, cq, ci = cot
+    cot_q = _permute_to_t1(cq, kp.q, kp.rows, kp.cols)
+    cot_i = _permute_to_t1(ci, kp.i, kp.rows, kp.cols)
+    grad = _segsum_regions(cu, cot_q, cot_i, kp)
     grad = jnp.pad(grad, ((0, 0), (0, kp.src_pad - kp.n)))
     return grad, _f0_tree(kp)
 
@@ -281,11 +282,12 @@ def _sh_gather_impl(x_pad, skp):
 
     def body(x_loc, kp_st):
         kp = _kp_local(kp_st)
-        return _gather_impl(x_loc, kp)[:, :, :kp.e]     # [3, d, e_shard]
+        u, q, i = _gather_impl(x_loc, kp)
+        return u[:, :kp.e], q[:, :kp.e], i[:, :kp.e]    # 3 x [d, e_shard]
 
     with _impl_platform(plat):
         return jax.shard_map(body, mesh=mesh, in_specs=(P(), P(data)),
-                             out_specs=P(None, None, data),
+                             out_specs=(P(None, data),) * 3,
                              check_vma=False)(x_pad, skp.kp)
 
 
@@ -315,18 +317,19 @@ def _sh_gather_fwd(x_pad, skp):
 def _sh_gather_bwd(skp, cot):
     P, data, mesh, plat = _sharded_specs(skp)
 
-    def body(cot_loc, kp_st):                           # cot_loc [3, d, e_shard]
+    def body(cot_loc, kp_st):                           # 3 x [d, e_shard]
         kp = _kp_local(kp_st)
-        cp = jnp.pad(cot_loc, ((0, 0), (0, 0), (0, kp.e_pad - kp.e)))
-        cot_q = _permute_to_t1(cp[1], kp.q, kp.rows, kp.cols)
-        cot_i = _permute_to_t1(cp[2], kp.i, kp.rows, kp.cols)
-        grad = _segsum_regions(cp[0], cot_q, cot_i, kp)
+        cu, cq, ci = (jnp.pad(c, ((0, 0), (0, kp.e_pad - kp.e)))
+                      for c in cot_loc)
+        cot_q = _permute_to_t1(cq, kp.q, kp.rows, kp.cols)
+        cot_i = _permute_to_t1(ci, kp.i, kp.rows, kp.cols)
+        grad = _segsum_regions(cu, cot_q, cot_i, kp)
         grad = jnp.pad(grad, ((0, 0), (0, kp.src_pad - kp.n)))
         return jax.lax.psum(grad, data)
 
     with _impl_platform(plat):
         grad = jax.shard_map(body, mesh=mesh,
-                             in_specs=(P(None, None, data), P(data)),
+                             in_specs=(((P(None, data),) * 3), P(data)),
                              out_specs=P(), check_vma=False)(cot, skp.kp)
     return grad, _f0_tree(skp)
 
@@ -380,11 +383,12 @@ def make_hyper_ops(graph: HyperGraph):
     """Returns (gather_roles_t, scatter_incidence_t) bound to one graph's
     static packing. Both operate feature-major.
 
-    Contract: gather returns [3, d, E'] stacked roles [u, q, i] in edge
-    order; scatter consumes [d, E']. E' is exact E on the XLA and sharded
-    paths; on the single-chip Pallas path E' = kp.e_pad (tail columns junk
-    past E). Layers size everything off the arrays, so the contracts
-    compose identically.
+    Contract: gather returns a 3-tuple (u, q, i) of [d, E'] role features
+    in edge order (a tuple, not a stacked array — stacking would cost a
+    full [3, d, E] copy in both directions); scatter consumes [d, E'].
+    E' is exact E on the XLA and sharded paths; on the single-chip Pallas
+    path E' = kp.e_pad (tail columns junk past E). Layers size everything
+    off the arrays, so the contracts compose identically.
     """
     n = graph.node_count
 
@@ -406,9 +410,8 @@ def make_hyper_ops(graph: HyperGraph):
 
         def gather_roles_t(x_t):
             e = i3_flat.shape[0] // 3
-            return jnp.stack(
-                [x_t[:, i3_flat[:e]], x_t[:, i3_flat[e:2 * e]],
-                 x_t[:, i3_flat[2 * e:]]], axis=0)
+            return (x_t[:, i3_flat[:e]], x_t[:, i3_flat[e:2 * e]],
+                    x_t[:, i3_flat[2 * e:]])
 
         def scatter_incidence_t(edge_t):
             out = xla_ops.hyperedge_scatter(edge_t.T, graph.inc_edge,

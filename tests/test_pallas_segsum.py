@@ -93,7 +93,8 @@ def test_hyper_ops_xla_path_grads():
     gather, scatter = make_hyper_ops(g)
 
     def f_op(x):
-        return (gather(x.T) ** 2).sum()
+        u, q, i = gather(x.T)
+        return (u ** 2).sum() + (q ** 2).sum() + (i ** 2).sum()
 
     def f_ref(x):
         return ((x[g.i3]) ** 2).sum()
