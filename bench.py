@@ -62,6 +62,8 @@ def main():
     ap.add_argument("--emb", type=int, default=32)
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--remat", action="store_true", default=False)
+    ap.add_argument("--f32_stream", action="store_true", default=False,
+                    help="disable the bf16 conv streams (default: on)")
     args = ap.parse_args()
 
     U, Q, I, V = args.users, args.queries, args.items, args.vocab
@@ -70,7 +72,8 @@ def main():
 
     cfg = Config(model=ModelConfig(embedding_size=D, gnn_layer_count=L,
                                    feature_interaction_order=3,
-                                   remat=args.remat),
+                                   remat=args.remat,
+                                   bf16_stream=not args.f32_stream),
                  train=TrainConfig(batch_size=B, random_negative_sample_size=K))
 
     graph, uqif = build_bench_graph(U, Q, I, E)

@@ -374,7 +374,7 @@ def report_best(cfg: Config, all_metrics: MetricsCollection, result_dir: str,
 
 def main(argv=None):
     cfg = parse_args(argv)
-    run(cfg)
+    return run(cfg)
 
 
 if __name__ == "__main__":

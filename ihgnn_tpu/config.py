@@ -74,6 +74,9 @@ class ModelConfig:
     # rematerialize GNN layers in the backward pass: trades recompute for
     # peak memory (needed for the 100M-hyperedge stress configs)
     remat: bool = False
+    # bf16 [d, E] conv streams (ops/hyperagg.py): halves HBM traffic of the
+    # hot pipeline; accumulation stays f32, MXU operands were bf16 anyway
+    bf16_stream: bool = False
 
     @property
     def output_feature_size(self) -> int:
@@ -229,6 +232,8 @@ def parse_args(argv=None) -> Config:
                    help="one hyperedge per search log (HGCN only)")
     p.add_argument("--remat", action="store_true", default=False,
                    help="rematerialize GNN layers in backward (saves memory)")
+    p.add_argument("--bf16_stream", action="store_true", default=False,
+                   help="bf16 hyperedge streams (half HBM traffic, f32 accum)")
     p.add_argument("--mesh_data", type=int, default=1)
     p.add_argument("--mesh_model", type=int, default=1)
     p.add_argument("--multihost", action="store_true", default=False,
@@ -254,6 +259,7 @@ def parse_args(argv=None) -> Config:
         graph_completeness=a.completeness,
         use_log_hypergraph=a.log_hypergraph,
         remat=a.remat,
+        bf16_stream=a.bf16_stream,
     )
     train = dataclasses.replace(
         base.train,

@@ -42,7 +42,10 @@ class _SplitDenseT(nn.Module):
         out = None
         for j, part in enumerate(parts):
             kj = kernel[j * self.part_dim:(j + 1) * self.part_dim, :]
-            y = jax.lax.dot_general(kj, part, (((0,), (0,)), ((), ())),
+            # bf16 streams: cast the weight slice to the stream dtype (the
+            # MXU rounds f32 operands to bf16 at default precision anyway)
+            y = jax.lax.dot_general(kj.astype(part.dtype), part,
+                                    (((0,), (0,)), ((), ())),
                                     preferred_element_type=jnp.float32)
             out = y if out is None else out + y
         return out + bias[:, None]

@@ -160,12 +160,13 @@ class IHGNNLayer(nn.Module):
     interaction_order: int = 3
     phase2_attention: bool = False
     gat_head: str = V.CONCAT
+    bf16_stream: bool = False    # half-width [d, E] streams (hyperagg.py)
 
     @nn.compact
     def __call__(self, x_t: jnp.ndarray, graph: HyperGraph) -> jnp.ndarray:
         x_t = TorchDenseT(self.out_dim, self.in_dim,
                           name="feature_transform")(x_t)
-        gather, scatter = make_hyper_ops(graph)
+        gather, scatter = make_hyper_ops(graph, bf16_stream=self.bf16_stream)
         edge_t = FeatureInteractor(self.interaction_order, self.out_dim,
                                    self.out_dim, name="interactor")(
                                        gather(x_t), fused_ok=use_pallas(graph))
@@ -178,7 +179,8 @@ class IHGNNLayer(nn.Module):
             # are already sorted by member node = destination
             # (GnnLayers.py:200-216,227-230). Row-major internally.
             n, e = graph.node_count, graph.edge_count
-            both = jnp.concatenate([x_t.T, edge_t.T], axis=0)   # [N+E, d]
+            both = jnp.concatenate([x_t.T, edge_t.T.astype(x_t.dtype)],
+                                   axis=0)                      # [N+E, d]
             both = TorchDense(self.out_dim, self.out_dim,
                               name="phase2_transform")(both)
             src = graph.inc_edge + n

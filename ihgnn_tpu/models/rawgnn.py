@@ -70,6 +70,7 @@ class RawGnn(nn.Module):
                     interaction_order=cfg.layer_order(layer),
                     phase2_attention=cfg.phase2_attention,
                     gat_head=cfg.gat_head,
+                    bf16_stream=cfg.bf16_stream,
                     name=f"gnn_{layer}"))
             else:
                 raise ValueError(f"unknown gnn layer {cfg.gnn!r}")

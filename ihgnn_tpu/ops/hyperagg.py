@@ -171,12 +171,14 @@ def _permute_to_t1(y, rp, rows, cols):
 
 def _segsum_regions(region_u, region_q_t1, region_i_t1, kp):
     """Segment-sum of the incidence values (full-width [d, E_pad] regions;
-    q/i in t1 order, pad tails dropped via sentinel ids) → [d, N]."""
+    q/i in t1 order, pad tails dropped via sentinel ids) → [d, N] f32
+    (accumulation is always f32, even for bf16 value streams)."""
     vals = jnp.concatenate([region_u, region_q_t1, region_i_t1], axis=1)
     if not _kernels_active():
         ids = kp.ids2d.reshape(-1)
         valid = ids < kp.n
-        vals_m = jnp.where(valid[None, :], vals, 0.0)
+        # mirror the kernel's accumulate-in-f32 contract for bf16 streams
+        vals_m = jnp.where(valid[None, :], vals, 0).astype(jnp.float32)
         ids_c = jnp.where(valid, ids, 0)
         return jax.ops.segment_sum(vals_m.T, ids_c, num_segments=kp.n).T
     return csr_segment_sum_t(vals, kp.ids2d, kp.tile_ptr, kp.n,
@@ -214,8 +216,9 @@ def _gather_bwd(kp, cot):
     cu, cq, ci = cot
     cot_q = _permute_to_t1(cq, kp.q, kp.rows, kp.cols)
     cot_i = _permute_to_t1(ci, kp.i, kp.rows, kp.cols)
-    grad = _segsum_regions(cu, cot_q, cot_i, kp)
-    grad = jnp.pad(grad, ((0, 0), (0, kp.src_pad - kp.n)))
+    grad = _segsum_regions(cu, cot_q, cot_i, kp)        # f32 accumulation
+    # gather is dtype-preserving, so the primal x_pad dtype == cot dtype
+    grad = jnp.pad(grad.astype(cu.dtype), ((0, 0), (0, kp.src_pad - kp.n)))
     return grad, _f0_tree(kp)
 
 
@@ -228,11 +231,18 @@ def _scatter_pallas(edge_t, kp):
 
 
 def _scatter_fwd(edge_t, kp):
-    return _scatter_impl(edge_t, kp), kp
+    # scatter always outputs f32 (accumulation), so the edge-stream dtype
+    # can't be recovered from the cotangent — carry a zero-size token
+    return _scatter_impl(edge_t, kp), (kp, jnp.zeros((0,), edge_t.dtype))
 
 
-def _scatter_bwd(kp, cot):
-    cot_pad = jnp.pad(cot, ((0, 0), (0, kp.src_pad - kp.n)))
+def _scatter_bwd(res, cot):
+    kp, e_token = res
+    # run the backward expansion in the edge-stream dtype (the cotangent
+    # arrives f32 from the segsum side; for bf16 streams the gradient
+    # stream is bf16, standard mixed-precision practice)
+    cot_pad = jnp.pad(cot.astype(e_token.dtype),
+                      ((0, 0), (0, kp.src_pad - kp.n)))
     grad = (_expand(cot_pad, kp.u_expand)
             + _role_forward(cot_pad, kp.q, kp.rows, kp.cols)
             + _role_forward(cot_pad, kp.i, kp.rows, kp.cols))
@@ -323,8 +333,10 @@ def _sh_gather_bwd(skp, cot):
                       for c in cot_loc)
         cot_q = _permute_to_t1(cq, kp.q, kp.rows, kp.cols)
         cot_i = _permute_to_t1(ci, kp.i, kp.rows, kp.cols)
-        grad = _segsum_regions(cu, cot_q, cot_i, kp)
-        grad = jnp.pad(grad, ((0, 0), (0, kp.src_pad - kp.n)))
+        grad = _segsum_regions(cu, cot_q, cot_i, kp)    # f32 accumulation
+        # gather is dtype-preserving: primal x_pad dtype == cot dtype
+        grad = jnp.pad(grad.astype(cu.dtype),
+                       ((0, 0), (0, kp.src_pad - kp.n)))
         return jax.lax.psum(grad, data)
 
     with _impl_platform(plat):
@@ -343,15 +355,19 @@ def _scatter_sharded(edge_t, skp):
 
 
 def _sh_scatter_fwd(edge_t, skp):
-    return _sh_scatter_impl(edge_t, skp), skp
+    return (_sh_scatter_impl(edge_t, skp),
+            (skp, jnp.zeros((0,), edge_t.dtype)))
 
 
-def _sh_scatter_bwd(skp, cot):
+def _sh_scatter_bwd(res, cot):
+    skp, e_token = res
     P, data, mesh, plat = _sharded_specs(skp)
+    e_dtype = e_token.dtype
 
     def body(cot_n, kp_st):
         kp = _kp_local(kp_st)
-        cot_pad = jnp.pad(cot_n, ((0, 0), (0, kp.src_pad - kp.n)))
+        cot_pad = jnp.pad(cot_n.astype(e_dtype),
+                          ((0, 0), (0, kp.src_pad - kp.n)))
         grad = (_expand(cot_pad, kp.u_expand)
                 + _role_forward(cot_pad, kp.q, kp.rows, kp.cols)
                 + _role_forward(cot_pad, kp.i, kp.rows, kp.cols))
@@ -379,7 +395,7 @@ def role_major_i3(graph: HyperGraph) -> jnp.ndarray:
     return jnp.concatenate([i3[:, 0], i3[:, 1], i3[:, 2]])
 
 
-def make_hyper_ops(graph: HyperGraph):
+def make_hyper_ops(graph: HyperGraph, bf16_stream: bool = False):
     """Returns (gather_roles_t, scatter_incidence_t) bound to one graph's
     static packing. Both operate feature-major.
 
@@ -389,15 +405,27 @@ def make_hyper_ops(graph: HyperGraph):
     E' is exact E on the XLA and sharded paths; on the single-chip Pallas
     path E' = kp.e_pad (tail columns junk past E). Layers size everything
     off the arrays, so the contracts compose identically.
+
+    ``bf16_stream``: cast node features to bf16 at the gather entry. The
+    whole [d, E]-wide pipeline (expansion, permutation stages, interaction
+    operands, scatter values, and the corresponding gradient streams) then
+    moves half the HBM bytes. Rounding is no worse at the matmuls — MXU
+    operands round to bf16 at default precision anyway (CLAUDE.md) — and
+    all segment-sum ACCUMULATION stays f32; the incremental loss is one
+    bf16 rounding of edge features before the scatter.
     """
     n = graph.node_count
+    stream = jnp.bfloat16 if bf16_stream else None
+
+    def _cast(x_t):
+        return x_t.astype(stream) if stream is not None else x_t
 
     if getattr(graph, "skp", None) is not None:
         skp = graph.skp
         src_pad = skp.kp.src_pad
 
         def gather_roles_t(x_t):
-            x_pad = jnp.pad(x_t, ((0, 0), (0, src_pad - n)))
+            x_pad = jnp.pad(_cast(x_t), ((0, 0), (0, src_pad - n)))
             return _gather_roles_sharded(x_pad, skp)
 
         def scatter_incidence_t(edge_t):
@@ -410,11 +438,14 @@ def make_hyper_ops(graph: HyperGraph):
 
         def gather_roles_t(x_t):
             e = i3_flat.shape[0] // 3
+            x_t = _cast(x_t)
             return (x_t[:, i3_flat[:e]], x_t[:, i3_flat[e:2 * e]],
                     x_t[:, i3_flat[2 * e:]])
 
         def scatter_incidence_t(edge_t):
-            out = xla_ops.hyperedge_scatter(edge_t.T, graph.inc_edge,
+            # f32 accumulation regardless of the stream dtype
+            out = xla_ops.hyperedge_scatter(edge_t.T.astype(jnp.float32),
+                                            graph.inc_edge,
                                             graph.inc_node, n)
             return out.T
 
@@ -423,7 +454,7 @@ def make_hyper_ops(graph: HyperGraph):
     kp = graph.kp
 
     def gather_roles_t(x_t):
-        x_pad = jnp.pad(x_t, ((0, 0), (0, kp.src_pad - n)))
+        x_pad = jnp.pad(_cast(x_t), ((0, 0), (0, kp.src_pad - n)))
         return _gather_roles_pallas(x_pad, kp)
 
     def scatter_incidence_t(edge_t):

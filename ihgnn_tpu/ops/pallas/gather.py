@@ -113,11 +113,16 @@ def _gather_kernel(win_ref, idx_ref, x_hbm, o_ref, xwin, sems, ctr,
     dma(r).wait()
 
     x = xwin[slot]                                 # [d, w]
-    xhi = x.astype(jnp.bfloat16)
-    xlo = (x - xhi.astype(jnp.float32)).astype(jnp.bfloat16)
-    # M-packed hi/lo split: one MXU pass computes both halves (see
-    # permute.py — M = 2d ≤ 128 rides the array's unused M capacity)
-    xs = jnp.concatenate([xhi, xlo], axis=0)       # [2d, w]
+    bf16_in = x.dtype == jnp.bfloat16
+    if bf16_in:
+        # permutation one-hot selects single bf16 values — exact, no split
+        xs = x
+    else:
+        xhi = x.astype(jnp.bfloat16)
+        xlo = (x - xhi.astype(jnp.float32)).astype(jnp.bfloat16)
+        # M-packed hi/lo split: one MXU pass computes both halves (see
+        # permute.py — M = 2d ≤ 128 rides the array's unused M capacity)
+        xs = jnp.concatenate([xhi, xlo], axis=0)   # [2d, w]
     d = x.shape[0]
     n_chunks = idx_ref.shape[1]
     for j in range(n_chunks):
@@ -125,7 +130,8 @@ def _gather_kernel(win_ref, idx_ref, x_hbm, o_ref, xwin, sems, ctr,
         onehot = (jax.lax.broadcasted_iota(jnp.int32, (w, CHUNK), 0)
                   == rel).astype(jnp.bfloat16)
         both = jnp.dot(xs, onehot, preferred_element_type=jnp.float32)
-        o_ref[:, j * CHUNK:(j + 1) * CHUNK] = both[:d] + both[d:]
+        out = both if bf16_in else both[:d] + both[d:]
+        o_ref[:, j * CHUNK:(j + 1) * CHUNK] = out.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("w", "interpret"))
@@ -140,7 +146,8 @@ def windowed_gather(x_t: jnp.ndarray, idx_rel: jnp.ndarray, win: jnp.ndarray,
     assert w % CHUNK == 0 and n_pad % CHUNK == 0, (w, n_pad)
 
     # clamp the pipeline depth so window buffers stay within ~6MB VMEM
-    nbuf = max(2, min(NBUF, (6 << 20) // max(d * w * 4, 1)))
+    itemsize = jnp.dtype(x_t.dtype).itemsize
+    nbuf = max(2, min(NBUF, (6 << 20) // max(d * w * itemsize, 1)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(r,),
@@ -152,14 +159,14 @@ def windowed_gather(x_t: jnp.ndarray, idx_rel: jnp.ndarray, win: jnp.ndarray,
         out_specs=pl.BlockSpec((d, c), lambda i, win: (0, i),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((nbuf, d, w), jnp.float32),
+            pltpu.VMEM((nbuf, d, w), x_t.dtype),
             pltpu.SemaphoreType.DMA((nbuf,)),
             pltpu.SMEM((1,), jnp.int32),
         ],
     )
     return pl.pallas_call(
         functools.partial(_gather_kernel, w=w, nbuf=nbuf),
-        out_shape=jax.ShapeDtypeStruct((d, r * c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((d, r * c), x_t.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
     )(win, idx_rel, x_t)

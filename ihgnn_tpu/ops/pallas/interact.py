@@ -55,7 +55,7 @@ def _fwd_kernel(u_ref, q_ref, i_ref, w_ref, b_ref, o_ref, *, order):
             kj, p.astype(jnp.bfloat16),
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-    o_ref[...] = acc + b_ref[...]
+    o_ref[...] = (acc + b_ref[...]).astype(o_ref.dtype)
 
 
 def _bwd_kernel(u_ref, q_ref, i_ref, w_ref, c_ref, du_ref, dq_ref, di_ref,
@@ -66,6 +66,10 @@ def _bwd_kernel(u_ref, q_ref, i_ref, w_ref, c_ref, du_ref, dq_ref, di_ref,
     cot_b = cot.astype(jnp.bfloat16)
     d = u.shape[0]
     parts = _parts(u, q, i, order)
+    if u.dtype == jnp.bfloat16:
+        # product-rule factors below multiply f32 dparts elementwise;
+        # promote once so the VPU math runs f32
+        u, q, i = (a.astype(jnp.float32) for a in (u, q, i))
 
     @pl.when(t == 0)
     def _():
@@ -83,7 +87,7 @@ def _bwd_kernel(u_ref, q_ref, i_ref, w_ref, c_ref, du_ref, dq_ref, di_ref,
             p.astype(jnp.bfloat16), cot_b,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)         # [d, out]
-    db_acc[...] += jnp.sum(cot, axis=1, keepdims=True)
+    db_acc[...] += jnp.sum(cot.astype(jnp.float32), axis=1, keepdims=True)
 
     du = dparts[0]
     dq = dparts[1]
@@ -96,9 +100,9 @@ def _bwd_kernel(u_ref, q_ref, i_ref, w_ref, c_ref, du_ref, dq_ref, di_ref,
         du += dparts[6] * (q * i)
         dq += dparts[6] * (u * i)
         di += dparts[6] * (u * q)
-    du_ref[...] = du
-    dq_ref[...] = dq
-    di_ref[...] = di
+    du_ref[...] = du.astype(du_ref.dtype)
+    dq_ref[...] = dq.astype(dq_ref.dtype)
+    di_ref[...] = di.astype(di_ref.dtype)
 
     @pl.when(t == pl.num_programs(0) - 1)
     def _():
@@ -129,7 +133,7 @@ def interact_fwd(u_t, q_t, i_t, w, b2, order: int, interpret: bool = False):
                   _full_spec(), _full_spec()],
         out_specs=pl.BlockSpec((out_dim, BLK), lambda t: (0, t),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((out_dim, e), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((out_dim, e), u_t.dtype),
         interpret=interpret,
     )(u_t, q_t, i_t, w, b2)
 
@@ -155,9 +159,9 @@ def interact_bwd(u_t, q_t, i_t, w, cot, order: int, interpret: bool = False):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((d, e), jnp.float32),
-            jax.ShapeDtypeStruct((d, e), jnp.float32),
-            jax.ShapeDtypeStruct((d, e), jnp.float32),
+            jax.ShapeDtypeStruct((d, e), u_t.dtype),
+            jax.ShapeDtypeStruct((d, e), u_t.dtype),
+            jax.ShapeDtypeStruct((d, e), u_t.dtype),
             jax.ShapeDtypeStruct((n_parts * d, out_dim), jnp.float32),
             jax.ShapeDtypeStruct((out_dim, 1), jnp.float32),
         ],

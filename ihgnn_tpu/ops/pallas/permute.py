@@ -52,23 +52,31 @@ def _local_permute_kernel(x_ref, p_ref, o_ref):
     """Block [d, ROWS, C] + perms [ROWS, C] → permuted block.
 
     One one-hot matmul per (row, CHUNK output columns): onehot[cc, k] =
-    (p[r, j*CHUNK + k] == cc), out_chunk = x_row · onehot. The bf16 hi/lo
-    value split (~f32 accuracy, CLAUDE.md) is M-packed: hi and lo stack
-    along the feature axis into one [2d, C] operand, so both halves ride a
-    single MXU pass (M = 2d ≤ 128 is free — the array is M-underutilized
-    at d = 32 anyway)."""
+    (p[r, j*CHUNK + k] == cc), out_chunk = x_row · onehot.
+
+    f32 values use the bf16 hi/lo split (~f32 accuracy, CLAUDE.md),
+    M-packed: hi and lo stack along the feature axis into one [2d, C]
+    operand, so both halves ride a single MXU pass (M = 2d ≤ 128 is free
+    — the array is M-underutilized at d = 32 anyway). bf16 values need no
+    split: a permutation one-hot selects exactly one bf16 value per
+    output, and bf16·1 products accumulate exactly in f32."""
     d, rows, c = x_ref.shape
+    bf16_in = x_ref.dtype == jnp.bfloat16
     for r in range(rows):
         x = x_ref[:, r, :]                       # [d, C]
-        xhi = x.astype(jnp.bfloat16)
-        xlo = (x - xhi.astype(jnp.float32)).astype(jnp.bfloat16)
-        xs = jnp.concatenate([xhi, xlo], axis=0)  # [2d, C]
+        if bf16_in:
+            xs = x
+        else:
+            xhi = x.astype(jnp.bfloat16)
+            xlo = (x - xhi.astype(jnp.float32)).astype(jnp.bfloat16)
+            xs = jnp.concatenate([xhi, xlo], axis=0)  # [2d, C]
         for j in range(c // CHUNK):
             p = p_ref[r, j * CHUNK:(j + 1) * CHUNK].reshape(1, CHUNK)
             onehot = (jax.lax.broadcasted_iota(jnp.int32, (c, CHUNK), 0)
                       == p).astype(jnp.bfloat16)
             both = jnp.dot(xs, onehot, preferred_element_type=jnp.float32)
-            o_ref[:, r, j * CHUNK:(j + 1) * CHUNK] = both[:d] + both[d:]
+            out = both if bf16_in else both[:d] + both[d:]
+            o_ref[:, r, j * CHUNK:(j + 1) * CHUNK] = out.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -77,7 +85,9 @@ def row_local_permute(x: jnp.ndarray, p: jnp.ndarray,
     """x: [d, R, C]; p: [R, C] int32 → out[:, r, c] = x[:, r, p[r, c]]."""
     d, r, c = x.shape
     assert p.shape == (r, c), (p.shape, x.shape)
-    rows = min(ROWS, r)
+    # block row count must respect the sublane tile of the dtype
+    # (f32: (8, 128); bf16: (16, 128) — CLAUDE.md layout rules)
+    rows = min(16 if x.dtype == jnp.bfloat16 else ROWS, r)
     assert r % rows == 0 and c % CHUNK == 0, (r, c)
     return pl.pallas_call(
         _local_permute_kernel,
@@ -90,7 +100,7 @@ def row_local_permute(x: jnp.ndarray, p: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec((d, rows, c), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((d, r, c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((d, r, c), x.dtype),
         interpret=interpret,
     )(x, p)
 
@@ -113,7 +123,7 @@ def block_transpose(x: jnp.ndarray, tile: int = 128,
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((d, tile, tile), lambda i, j: (0, i, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((d, c, r), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((d, c, r), x.dtype),
         interpret=interpret,
     )(x)
 

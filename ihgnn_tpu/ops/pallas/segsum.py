@@ -141,27 +141,31 @@ def _segsum_kernel(tile_ptr_ref, values_t_hbm, ids_hbm, out_ref, acc, vbuf,
             local = nodes - node_base
             onehot = (jax.lax.broadcasted_iota(jnp.int32, (TILE_N, SUB), 0)
                       == local).astype(jnp.bfloat16)
-            # bf16 hi/lo split (~f32 accuracy; the one-hot side is exact),
-            # M-packed: hi and lo stack along the feature axis so a single
-            # MXU pass computes both (M = 2d ≤ 128 is spare capacity at
-            # d = 32; see permute.py)
+            # f32 values: bf16 hi/lo split (~f32 accuracy; the one-hot side
+            # is exact), M-packed — hi and lo stack along the feature axis
+            # so a single MXU pass computes both (M = 2d ≤ 128 is spare
+            # capacity at d = 32; see permute.py). bf16 values: single
+            # pass, products are exact and accumulate in f32.
             v = vbuf[slot][:, j * SUB:(j + 1) * SUB]
-            vhi = v.astype(jnp.bfloat16)
-            vlo = (v - vhi.astype(jnp.float32)).astype(jnp.bfloat16)
-            vs = jnp.concatenate([vhi, vlo], axis=0)     # [2d, SUB]
             d = v.shape[0]
+            if v.dtype == jnp.bfloat16:
+                vs = v
+            else:
+                vhi = v.astype(jnp.bfloat16)
+                vlo = (v - vhi.astype(jnp.float32)).astype(jnp.bfloat16)
+                vs = jnp.concatenate([vhi, vlo], axis=0)     # [2d, SUB]
             dims = (((1,), (1,)), ((), ()))
             if out_transposed:
                 # both [2d, TILE_N] = vs [2d, SUB] · onehotᵀ
                 both = jax.lax.dot_general(
                     vs, onehot, dimension_numbers=dims,
                     preferred_element_type=jnp.float32)
-                acc[...] += both[:d] + both[d:]
+                acc[...] += both if vs is v else both[:d] + both[d:]
             else:
                 both = jax.lax.dot_general(
                     onehot, vs, dimension_numbers=dims,
                     preferred_element_type=jnp.float32)
-                acc[...] += both[:, :d] + both[:, d:]
+                acc[...] += both if vs is v else both[:, :d] + both[:, d:]
         return 0
 
     jax.lax.fori_loop(g0, g1 + 1, body, 0, unroll=False)
@@ -233,7 +237,7 @@ def csr_segment_sum_t(values_t: jnp.ndarray, segment_ids_2d: jnp.ndarray,
         out_specs=out_spec,
         scratch_shapes=[
             pltpu.VMEM(acc_shape, jnp.float32),
-            pltpu.VMEM((NBUF, d, BLOCK), jnp.float32),
+            pltpu.VMEM((NBUF, d, BLOCK), values_t.dtype),
             pltpu.VMEM((NBUF, NSUB, 128), jnp.int32),
             pltpu.SemaphoreType.DMA((NBUF, 2)),
             pltpu.SMEM((2,), jnp.int32),
