@@ -50,7 +50,9 @@ import numpy as np
 from ihgnn_tpu.graph import Graph2D, HyperGraph
 from ihgnn_tpu.ops import segment as xla_ops
 from ihgnn_tpu.ops.pallas.gather import windowed_gather
-from ihgnn_tpu.ops.pallas.permute import block_transpose, row_local_permute
+from ihgnn_tpu.ops.pallas.permute import (block_transpose, row_local_permute,
+                                          tlp_vmem_ok,
+                                          transposed_local_permute)
 from ihgnn_tpu.ops.pallas.segsum import csr_segment_sum_t
 
 
@@ -146,13 +148,26 @@ def _rlp(x, p):
     return row_local_permute(x, p)
 
 
+def _rlp_bt(x, p):
+    """Fused block_transpose(row_local_permute(x, p)) — one HBM pass via
+    the TLP kernel when it fits VMEM, else the two-kernel fallback."""
+    if not _kernels_active():
+        y = jnp.take_along_axis(x, jnp.broadcast_to(p[None], x.shape),
+                                axis=2)
+        return jnp.swapaxes(y, 1, 2)
+    d, r, c = x.shape
+    if r % 128 == 0 and tlp_vmem_ok(d, c, x.dtype):
+        return transposed_local_permute(x, p)
+    return block_transpose(row_local_permute(x, p))
+
+
 def _role_forward(x_pad, rp, rows, cols):
-    """Role features in edge order: expand∘stage0 (fused) then T·p1·T·p2."""
+    """Role features in edge order: expand∘stage0 (fused), then
+    T · (p1·T fused) · p2 — 4 HBM passes per role."""
     d = x_pad.shape[0]
     a0 = _expand(x_pad, rp.gather).reshape(d, rows, cols)
     t0 = _bt(a0)
-    a1 = _rlp(t0, rp.fwd_p1)
-    t1 = _bt(a1)
+    t1 = _rlp_bt(t0, rp.fwd_p1)
     out = _rlp(t1, rp.fwd_p2)
     return out.reshape(d, rows * cols)
 
@@ -160,12 +175,10 @@ def _role_forward(x_pad, rp, rows, cols):
 def _permute_to_t1(y, rp, rows, cols):
     """Edge order → pre-stage-2 ("t1") role-rank order ([d, E_pad]). The
     final Clos stage is absorbed into the segment-sum ids (packing.py), so
-    only p0 · T · p1 · T run on device."""
+    only (p0·T fused) · (p1·T fused) run on device — 2 HBM passes."""
     d = y.shape[0]
-    a0 = _rlp(y.reshape(d, rows, cols), rp.bwd_p0)
-    t0 = _bt(a0)
-    a1 = _rlp(t0, rp.bwd_p1)
-    t1 = _bt(a1)
+    t0 = _rlp_bt(y.reshape(d, rows, cols), rp.bwd_p0)
+    t1 = _rlp_bt(t0, rp.bwd_p1)
     return t1.reshape(d, rows * cols)
 
 

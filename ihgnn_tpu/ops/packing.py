@@ -37,6 +37,16 @@ from ihgnn_tpu.ops.pallas.segsum import pack_csr_tiles
 # (pathologically sparse id ranges) the graph falls back to XLA ops.
 W_CAP = 16384
 
+# Windowed-gather row width, decoupled from the Clos routing width: the
+# expansion wants WIDE rows (fewer, larger window DMAs — it is
+# DMA-latency-bound), while the permutation stages want NARROW rows (the
+# one-hot matmul costs ∝ cols per entry — they are MXU-bound). The flat
+# [e_pad] layout is shared, so the expansion may view it as
+# [e_pad/1024, 1024] while the stages run on [rows, cols], provided
+# EXPAND_COLS is a multiple of cols (stage-0 shuffles within cols-rows are
+# then also within EXPAND_COLS-rows, preserving bandedness).
+EXPAND_COLS = 1024
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
@@ -125,10 +135,12 @@ def _role_pack(role_ids: np.ndarray, order: np.ndarray, rank: np.ndarray,
     f0, f1, f2 = fwd_f.result()
     # compose expand with the forward stage-0 shuffle: stage 0 reads
     # in-row positions, so the fused source id is sorted_pad[r*C + f0[r,c]]
-    # and rows stay banded (the window is the row's sorted-id range)
+    # and rows stay banded (the window is the row's sorted-id range);
+    # the gather itself runs on EXPAND_COLS-wide rows of the same flat
+    # layout (cols | EXPAND_COLS, so stage-0 shuffles stay in-row)
     idx = np.take_along_axis(sorted_pad.reshape(rows, cols),
                              f0.astype(np.int64), axis=1)
-    gp = pack_windows(idx, w_cap=W_CAP)
+    gp = pack_windows(idx.reshape(-1, EXPAND_COLS), w_cap=W_CAP)
 
     b0, b1, b2 = bwd_f.result()
     # absorb bwd stage 2 into the segment-sum: store the region's node ids
@@ -166,13 +178,16 @@ def build_hyper_kernel_pack(i3: np.ndarray, node_count: int, cols: int = 1024
     # the stage-2-into-segsum fusion requires Clos rows to nest inside the
     # segsum DMA blocks (within-block shuffles are order-transparent)
     assert cols <= BLOCK and BLOCK % cols == 0, (cols, BLOCK)
+    # stage-0-into-expand fusion requires Clos rows to nest inside the
+    # (wider) windowed-gather rows
+    assert cols <= EXPAND_COLS and EXPAND_COLS % cols == 0, cols
 
     try:
         with ThreadPoolExecutor(max_workers=4) as pool:
             u_ids = np.asarray(i3[:, 0], np.int64)
             # u region: edge order IS u-sorted order — expansion only
             u_pad = np.concatenate([u_ids, np.full(e_pad - e, u_ids[-1])])
-            up = pack_windows(u_pad.reshape(rows, cols), w_cap=W_CAP)
+            up = pack_windows(u_pad.reshape(-1, EXPAND_COLS), w_cap=W_CAP)
 
             packs, region_ids, region_sorted = {}, {}, {}
             for name, col_idx in (("q", 1), ("i", 2)):

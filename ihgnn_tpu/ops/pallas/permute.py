@@ -128,6 +128,74 @@ def block_transpose(x: jnp.ndarray, tile: int = 128,
     )(x)
 
 
+def _tlp_kernel(x_ref, p_ref, o_ref, y_ref):
+    """Fused row-local-permute + block-transpose:
+    o[:, c, r] = x[:, r, p[r, c]] for the (r-tile, c-chunk) grid cell.
+
+    x block [d, RT, C] (revisited across the c-chunk grid axis — the index
+    map ignores it, so Pallas keeps the block resident), p block [RT, CHUNK]
+    (this tile's rows, this chunk's target columns), out block [d, CHUNK,
+    RT]. One one-hot matmul per row builds the row's output chunk in row-
+    major scratch y [d, RT, CHUNK]; a single in-VMEM swapaxes transposes it
+    for the store. Saves one full HBM round-trip vs rlp-then-transpose."""
+    d, rt, c = x_ref.shape
+    chunk = o_ref.shape[1]
+    bf16_in = x_ref.dtype == jnp.bfloat16
+    for r in range(rt):
+        x = x_ref[:, r, :]
+        if bf16_in:
+            xs = x
+        else:
+            xhi = x.astype(jnp.bfloat16)
+            xlo = (x - xhi.astype(jnp.float32)).astype(jnp.bfloat16)
+            xs = jnp.concatenate([xhi, xlo], axis=0)
+        p = p_ref[r, :].reshape(1, chunk)
+        onehot = (jax.lax.broadcasted_iota(jnp.int32, (c, chunk), 0)
+                  == p).astype(jnp.bfloat16)
+        both = jnp.dot(xs, onehot, preferred_element_type=jnp.float32)
+        out = both if bf16_in else both[:d] + both[d:]
+        y_ref[:, r, :] = out.astype(y_ref.dtype)
+    o_ref[...] = jnp.swapaxes(y_ref[...], 1, 2)
+
+
+# input row-tile height of the fused kernel = output minor-dim tile (the
+# out block's minor axis is the input row axis, so it must be 128-wide)
+TLP_RT = 128
+
+
+def tlp_vmem_ok(d: int, c: int, dtype) -> bool:
+    """Whether the fused kernel's resident x block fits the VMEM budget:
+    x block (revisited, single-resident) + double-buffered out/p blocks +
+    scratch must stay within ~16 MB/core. 8 MB covers d=32, C=1024 bf16
+    (verified on-chip by tools/kernel_check.py)."""
+    return d * TLP_RT * c * jnp.dtype(dtype).itemsize <= (8 << 20)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def transposed_local_permute(x: jnp.ndarray, p: jnp.ndarray,
+                             interpret: bool = False) -> jnp.ndarray:
+    """x: [d, R, C]; p: [R, C] int32 → out [d, C, R] with
+    out[:, c, r] = x[:, r, p[r, c]]  (= block_transpose(row_local_permute))."""
+    d, r, c = x.shape
+    assert p.shape == (r, c), (p.shape, x.shape)
+    assert r % TLP_RT == 0 and c % CHUNK == 0, (r, c)
+    return pl.pallas_call(
+        _tlp_kernel,
+        grid=(r // TLP_RT, c // CHUNK),
+        in_specs=[
+            pl.BlockSpec((d, TLP_RT, c), lambda j, i: (0, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TLP_RT, CHUNK), lambda j, i: (j, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((d, CHUNK, TLP_RT), lambda j, i: (0, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((d, c, r), x.dtype),
+        scratch_shapes=[pltpu.VMEM((d, TLP_RT, CHUNK), x.dtype)],
+        interpret=interpret,
+    )(x, p)
+
+
 class PermutePlan(NamedTuple):
     """Host-routed stage tables for one static permutation (int32 device
     arrays once packed; see graph.py). ``rows``/``cols`` define the grid;
