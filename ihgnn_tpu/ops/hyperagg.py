@@ -50,9 +50,7 @@ import numpy as np
 from ihgnn_tpu.graph import Graph2D, HyperGraph
 from ihgnn_tpu.ops import segment as xla_ops
 from ihgnn_tpu.ops.pallas.gather import windowed_gather
-from ihgnn_tpu.ops.pallas.permute import (block_transpose, row_local_permute,
-                                          tlp_vmem_ok,
-                                          transposed_local_permute)
+from ihgnn_tpu.ops.pallas.permute import block_transpose, row_local_permute
 from ihgnn_tpu.ops.pallas.segsum import csr_segment_sum_t
 
 
@@ -149,15 +147,17 @@ def _rlp(x, p):
 
 
 def _rlp_bt(x, p):
-    """Fused block_transpose(row_local_permute(x, p)) — one HBM pass via
-    the TLP kernel when it fits VMEM, else the two-kernel fallback."""
+    """block_transpose(row_local_permute(x, p)).
+
+    Measured on-chip (tools/kernel_check.py, 2M x 32 bf16): the fused
+    one-pass TLP kernel runs 7.9 ms vs 5.4 ms for the two-kernel pair —
+    the per-(row, chunk) scratch transpose costs more than the HBM pass it
+    saves — so this dispatches to the pair. ``transposed_local_permute``
+    stays available (tested) for layouts where the tradeoff flips."""
     if not _kernels_active():
         y = jnp.take_along_axis(x, jnp.broadcast_to(p[None], x.shape),
                                 axis=2)
         return jnp.swapaxes(y, 1, 2)
-    d, r, c = x.shape
-    if r % 128 == 0 and tlp_vmem_ok(d, c, x.dtype):
-        return transposed_local_permute(x, p)
     return block_transpose(row_local_permute(x, p))
 
 

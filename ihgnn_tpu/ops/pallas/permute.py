@@ -128,21 +128,16 @@ def block_transpose(x: jnp.ndarray, tile: int = 128,
     )(x)
 
 
-def _tlp_kernel(x_ref, p_ref, o_ref, y_ref):
-    """Fused row-local-permute + block-transpose:
-    o[:, c, r] = x[:, r, p[r, c]] for the (r-tile, c-chunk) grid cell.
-
-    x block [d, RT, C] (revisited across the c-chunk grid axis — the index
-    map ignores it, so Pallas keeps the block resident), p block [RT, CHUNK]
-    (this tile's rows, this chunk's target columns), out block [d, CHUNK,
-    RT]. One one-hot matmul per row builds the row's output chunk in row-
-    major scratch y [d, RT, CHUNK]; a single in-VMEM swapaxes transposes it
-    for the store. Saves one full HBM round-trip vs rlp-then-transpose."""
-    d, rt, c = x_ref.shape
+def _tlp_compute(xv, p_ref, o_ref, y_ref):
+    """Shared TLP compute: from x tile ``xv`` [d, RT, C] build this chunk's
+    transposed output block. One one-hot matmul per row writes the row's
+    output chunk into row-major scratch y [d, RT, CHUNK]; a single in-VMEM
+    swapaxes transposes it for the store."""
+    d, rt, c = xv.shape
     chunk = o_ref.shape[1]
-    bf16_in = x_ref.dtype == jnp.bfloat16
+    bf16_in = xv.dtype == jnp.bfloat16
     for r in range(rt):
-        x = x_ref[:, r, :]
+        x = xv[:, r, :]
         if bf16_in:
             xs = x
         else:
@@ -158,17 +153,63 @@ def _tlp_kernel(x_ref, p_ref, o_ref, y_ref):
     o_ref[...] = jnp.swapaxes(y_ref[...], 1, 2)
 
 
+def _tlp_kernel_hbm(x_hbm, p_ref, o_ref, xv, y_ref, sem):
+    """TLP with x left in HBM: the [d, RT, C] row tile is DMA'd into a
+    SINGLE-buffered VMEM scratch once per row-tile (at the first chunk of
+    the c-chunk grid axis). Mosaic double-buffers every pipelined input
+    block whose index map is non-constant — for an 8 MB x tile that alone
+    blows the 16 MB scoped-VMEM limit (observed on-chip: 19.1 MB for d=32,
+    C=1024 bf16) — so the tile must be fetched manually. The stall is one
+    ~10 us DMA per RT rows, amortized over C/CHUNK grid cells of MXU work."""
+    i = pl.program_id(1)                    # chunk axis, iterates fastest
+    j = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _fetch():
+        dma = pltpu.make_async_copy(
+            x_hbm.at[:, pl.ds(j * TLP_RT, TLP_RT), :], xv, sem)
+        dma.start()
+        dma.wait()
+
+    _tlp_compute(xv, p_ref, o_ref, y_ref)
+
+
+def _tlp_kernel(x_ref, p_ref, o_ref, y_ref):
+    """TLP with a pipelined (auto-double-buffered) x block — only safe for
+    small tiles; see _tlp_kernel_hbm."""
+    _tlp_compute(x_ref, p_ref, o_ref, y_ref)
+
+
 # input row-tile height of the fused kernel = output minor-dim tile (the
 # out block's minor axis is the input row axis, so it must be 128-wide)
 TLP_RT = 128
+# Scoped-VMEM budget: v5e has 128 MB VMEM/core; Mosaic's DEFAULT scoped
+# limit is only 16 MB, so the pallas_call raises it via
+# CompilerParams(vmem_limit_bytes) and the plan checks against the raised
+# budget (generous slack for compute temporaries + internal scratch).
+_TLP_BUDGET = 96 << 20
+
+
+def _tlp_plan(d: int, c: int, dtype) -> str | None:
+    """Pick the TLP variant whose VMEM footprint fits: 'auto' (pipelined x,
+    double-buffered — overlaps the next row-tile's 8 MB fetch with compute)
+    when it fits, 'hbm' (manual single-buffered fetch) for tiles past half
+    the budget, None when even that exceeds it."""
+    isz = jnp.dtype(dtype).itemsize
+    x_tile = d * TLP_RT * c * isz
+    fixed = (2 * d * CHUNK * TLP_RT * isz      # out block, double-buffered
+             + d * TLP_RT * CHUNK * isz        # y scratch
+             + 2 * TLP_RT * CHUNK * 4)         # p block, double-buffered
+    if 2 * x_tile + fixed <= _TLP_BUDGET:
+        return "auto"
+    if x_tile + fixed <= _TLP_BUDGET:
+        return "hbm"
+    return None
 
 
 def tlp_vmem_ok(d: int, c: int, dtype) -> bool:
-    """Whether the fused kernel's resident x block fits the VMEM budget:
-    x block (revisited, single-resident) + double-buffered out/p blocks +
-    scratch must stay within ~16 MB/core. 8 MB covers d=32, C=1024 bf16
-    (verified on-chip by tools/kernel_check.py)."""
-    return d * TLP_RT * c * jnp.dtype(dtype).itemsize <= (8 << 20)
+    """Whether some TLP variant fits the scoped-VMEM budget."""
+    return _tlp_plan(d, c, dtype) is not None
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -179,20 +220,34 @@ def transposed_local_permute(x: jnp.ndarray, p: jnp.ndarray,
     d, r, c = x.shape
     assert p.shape == (r, c), (p.shape, x.shape)
     assert r % TLP_RT == 0 and c % CHUNK == 0, (r, c)
-    return pl.pallas_call(
-        _tlp_kernel,
+    plan = _tlp_plan(d, c, x.dtype)
+    assert plan is not None, (d, c, x.dtype)
+    common = dict(
         grid=(r // TLP_RT, c // CHUNK),
-        in_specs=[
-            pl.BlockSpec((d, TLP_RT, c), lambda j, i: (0, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TLP_RT, CHUNK), lambda j, i: (j, i),
-                         memory_space=pltpu.VMEM),
-        ],
         out_specs=pl.BlockSpec((d, CHUNK, TLP_RT), lambda j, i: (0, i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((d, c, r), x.dtype),
-        scratch_shapes=[pltpu.VMEM((d, TLP_RT, CHUNK), x.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_TLP_BUDGET + (16 << 20)),
         interpret=interpret,
+    )
+    p_spec = pl.BlockSpec((TLP_RT, CHUNK), lambda j, i: (j, i),
+                          memory_space=pltpu.VMEM)
+    if plan == "auto":
+        return pl.pallas_call(
+            _tlp_kernel,
+            in_specs=[pl.BlockSpec((d, TLP_RT, c), lambda j, i: (0, j, 0),
+                                   memory_space=pltpu.VMEM), p_spec],
+            scratch_shapes=[pltpu.VMEM((d, TLP_RT, CHUNK), x.dtype)],
+            **common,
+        )(x, p)
+    return pl.pallas_call(
+        _tlp_kernel_hbm,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY), p_spec],
+        scratch_shapes=[pltpu.VMEM((d, TLP_RT, c), x.dtype),
+                        pltpu.VMEM((d, TLP_RT, CHUNK), x.dtype),
+                        pltpu.SemaphoreType.DMA],
+        **common,
     )(x, p)
 
 

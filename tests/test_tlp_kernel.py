@@ -31,3 +31,34 @@ def test_tlp_bf16_exact():
         xb, jnp.asarray(p), interpret=True)).astype(np.float32)
     # a permutation of bf16 values is exact
     np.testing.assert_array_equal(out, _ref(np.asarray(xb, np.float32), p))
+
+
+def test_tlp_plan_selection():
+    from ihgnn_tpu.ops.pallas.permute import _tlp_plan
+    # the bench default (d=32, C=1024, both dtypes) double-buffers under
+    # the raised vmem_limit_bytes budget
+    assert _tlp_plan(32, 1024, jnp.bfloat16) == "auto"
+    assert _tlp_plan(32, 1024, jnp.float32) == "auto"
+    # a 64 MB x tile exceeds half the budget → manual single-buffered DMA
+    assert _tlp_plan(32, 8192, jnp.bfloat16) == "hbm"
+    # 128 MB exceeds even the single-buffered budget
+    assert _tlp_plan(32, 16384, jnp.bfloat16) is None
+
+
+def test_tlp_hbm_variant():
+    """Shape that selects the manual-DMA (single-buffered x) variant."""
+    rng = np.random.default_rng(2)
+    d, r, c = 2, 128, 8192
+    x = jnp.asarray(rng.standard_normal((d, r, c))).astype(jnp.bfloat16)
+    p = np.stack([rng.permutation(c) for _ in range(r)]).astype(np.int32)
+    from ihgnn_tpu.ops.pallas.permute import _tlp_plan
+    import ihgnn_tpu.ops.pallas.permute as pm
+    orig = pm._TLP_BUDGET
+    pm._TLP_BUDGET = 8 << 20        # shrink so this small shape picks hbm
+    try:
+        assert _tlp_plan(d, c, x.dtype) == "hbm"
+        out = np.asarray(transposed_local_permute(
+            x, jnp.asarray(p), interpret=True)).astype(np.float32)
+    finally:
+        pm._TLP_BUDGET = orig
+    np.testing.assert_array_equal(out, _ref(np.asarray(x, np.float32), p))

@@ -208,6 +208,37 @@ def main():
     ms, _ = timed(transpose_fn, g, args.iters)
     report("pallas_block_transpose", ms, True, 0.0)
 
+    # fused transposed-local-permute (bf16 C=1024 selects the manual-DMA
+    # variant — the config that OOM'd scoped VMEM with a pipelined x block)
+    from ihgnn_tpu.ops.pallas.permute import (_tlp_plan,
+                                              transposed_local_permute)
+    gb = g.astype(jnp.bfloat16)
+
+    @jax.jit
+    def tlp_fn(x, s):
+        # keep the chained scalar from promoting the bf16 stream to f32
+        out = transposed_local_permute(x + (s * 0).astype(x.dtype), plan.p0,
+                                       interpret=interp)
+        return out, jnp.sum(out[:, 0, :8].astype(jnp.float32))
+
+    ms, out = timed(tlp_fn, gb, args.iters)
+    ref_t = np.swapaxes(
+        np.take_along_axis(np.asarray(gb, np.float32),
+                           np.asarray(plan.p0)[None], axis=2), 1, 2)
+    err = np.abs(np.asarray(out, np.float32) - ref_t).max()
+    report("pallas_tlp_fused_bf16", ms, err == 0.0, err,
+           variant=_tlp_plan(d, plan.cols, jnp.bfloat16))
+
+    @jax.jit
+    def rlp_bt_fn(x, s):
+        out = block_transpose(row_local_permute(x + (s * 0).astype(x.dtype),
+                                                plan.p0, interpret=interp),
+                              interpret=interp)
+        return out, jnp.sum(out[:, 0, :8].astype(jnp.float32))
+
+    ms, _ = timed(rlp_bt_fn, gb, args.iters)
+    report("pallas_rlp_then_bt_bf16", ms, True, 0.0)
+
     # XLA take as permutation baseline
     perm_j = jax.device_put(jnp.asarray(perm_pad.astype(np.int32)))
 

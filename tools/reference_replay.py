@@ -169,16 +169,22 @@ def eval_metrics(model, split, topk=10):
         for b in range(split.count):
             scores = model.score_all(f, int(split.users[b]),
                                      int(split.queries[b])).numpy()
-            truth = set(split.truth[b][:split.truth_counts[b]].tolist())
+            truth = split.truth[b][:split.truth_counts[b]].tolist()
             top = np.argsort(-scores, kind="stable")[:topk]
-            hits = [r for r, it in enumerate(top) if int(it) in truth]
+            rank_of = {int(it): r for r, it in enumerate(top)}
+            # indices_hit in TRUTH order (Metrics.py:63-71 walks the
+            # ground-truth list and appends each found rank)
+            hits = [rank_of[int(it)] for it in truth if int(it) in rank_of]
             n_t = min(len(truth), topk)
             hr += len(hits) / n_t                            # Metrics.py:80
             ndcg += (sum(1.0 / np.log2(r + 2) for r in hits)
                      / idcg[n_t - 1])                        # all-1 gains
-            mp += (sum((j + 1) / (r + 1) for j, r in enumerate(hits))
-                   / n_t)                                    # MAP@10
-            mrr += 1.0 / (hits[0] + 1) if hits else 0.0
+            # MAP@10 = (1/|hits|) * sum_j j/(rank_j+1) with j counting
+            # hits in truth order (Metrics.py:104-109 _get_map_for_all1)
+            if hits:
+                mp += (sum((j + 1) / (r + 1) for j, r in enumerate(hits))
+                       / len(hits))
+            mrr += 1.0 / (min(hits) + 1) if hits else 0.0
         n = split.count
         return {"hr": hr / n, "ndcg": ndcg / n, "map": mp / n, "mrr": mrr / n}
 
