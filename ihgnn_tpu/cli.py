@@ -17,7 +17,8 @@ import jax
 import numpy as np
 
 from ihgnn_tpu.config import Config, V, parse_args
-from ihgnn_tpu.data.dataset import EvalLogs, GraphData, TrainSampler
+from ihgnn_tpu.data.dataset import (EvalLogs, GraphData, TrainSampler,
+                                    prefetch)
 from ihgnn_tpu.models.rawgnn import RawGnn
 from ihgnn_tpu.parallel.mesh import make_mesh
 from ihgnn_tpu.parallel.sharding import (pad_graph2d_for_mesh,
@@ -182,7 +183,7 @@ def run(cfg: Config) -> MetricsCollection:
         if profiling:
             jax.profiler.start_trace(cfg.runtime.profile_dir)
         losses = []
-        for batch in batched_epoch(sampler, t.grad_accum_steps):
+        for batch in prefetch(batched_epoch(sampler, t.grad_accum_steps)):
             if mesh is not None:
                 batch = shard_batch(batch, mesh)
             state, loss = train_step(state, batch)

@@ -236,8 +236,10 @@ class TrainSampler:
             return np.zeros((n_rows, 0), np.int32)
         draw = self.rng.integers(0, item_count, size=(n_rows, k), dtype=np.int64)
         if k > 1 and item_count > k:
-            # fix up duplicate entries per row (rare); loop only over bad rows
-            for r in np.nonzero([len(np.unique(row)) != k for row in draw])[0]:
+            # fix up duplicate entries per row (rare): detect vectorized
+            # (sort + adjacent-equal), redraw only the bad rows
+            bad = (np.diff(np.sort(draw, axis=1), axis=1) == 0).any(axis=1)
+            for r in np.nonzero(bad)[0]:
                 draw[r] = self.rng.choice(item_count, size=k, replace=False)
         return draw.astype(np.int32)
 
@@ -291,6 +293,38 @@ class TrainSampler:
 
             yield Batch(users=users, queries=queries, items=items,
                         flags=flags, weight=weight)
+
+
+def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
+    """Grain-style background prefetch: a daemon thread drains ``iterator``
+    into a bounded queue so host-side batch assembly (negative sampling,
+    padding) overlaps device compute instead of serializing with it
+    (SURVEY.md §7.1.4 names tf.data/Grain as the reference-replacing input
+    pipeline; the reference's DataLoader runs num_workers=0, Main.py:152).
+
+    Exceptions in the producer propagate to the consumer."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def produce():
+        try:
+            for item in iterator:
+                q.put(item)
+            q.put(_END)
+        except BaseException as e:  # noqa: BLE001 — re-raised consumer-side
+            q.put(e)
+
+    threading.Thread(target=produce, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
 
 
 class EvalLogs:

@@ -31,7 +31,8 @@ import optax
 from flax import struct
 
 from ihgnn_tpu.config import Config
-from ihgnn_tpu.data.dataset import EvalLogs, GraphData, TrainSampler
+from ihgnn_tpu.data.dataset import (EvalLogs, GraphData, TrainSampler,
+                                    prefetch)
 from ihgnn_tpu.data.srrl_sampler import MetaPaths, SrrlKGSampler
 from ihgnn_tpu.models.srrl import KG_MODES, Srrl
 from ihgnn_tpu.train.eval import evaluate, make_eval_fns
@@ -225,7 +226,7 @@ def run_srrl(cfg: Config, data: GraphData, valid: EvalLogs, test: EvalLogs,
 
         t1 = time.time()
         ps_losses = []
-        for batch in ps_sampler.epoch():
+        for batch in prefetch(ps_sampler.epoch()):
             state, loss = ps_step(state, batch)
             ps_losses.append(loss)
         avg_loss = float(np.mean([float(l) for l in ps_losses]))
