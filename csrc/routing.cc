@@ -22,8 +22,11 @@
 //
 // Build: g++ -O2 -shared -fPIC -o libihgnn_routing.so routing.cc
 
+#include <algorithm>
+#include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -112,6 +115,37 @@ void color_recurse(const int32_t* u, const int32_t* v, int32_t n_vertices,
                 colors);
 }
 
+// Core of ihgnn_benes_route, reusable per row (see the extern "C" wrapper
+// below for the stage semantics). perm values in [0, rows*cols).
+int benes_route_core(const int64_t* perm, int64_t e_count, int32_t rows,
+                     int32_t cols, int32_t* p0, int32_t* p1, int32_t* p2) {
+  if (static_cast<int64_t>(rows) * cols != e_count) return 1;
+  if (cols <= 0 || (cols & (cols - 1)) != 0) return 2;
+  std::vector<int32_t> in_row(e_count), out_row(e_count);
+  std::vector<int32_t> in_col(e_count);
+  for (int64_t j = 0; j < e_count; ++j) {
+    int64_t src = perm[j];
+    if (src < 0 || src >= e_count) return 3;
+    in_row[j] = static_cast<int32_t>(src / cols);
+    in_col[j] = static_cast<int32_t>(src % cols);
+    out_row[j] = static_cast<int32_t>(j / cols);
+  }
+  std::vector<int32_t> color(e_count);
+  {
+    std::vector<int64_t> all(e_count);
+    for (int64_t e = 0; e < e_count; ++e) all[e] = e;
+    color_recurse(in_row.data(), out_row.data(), rows, all, cols, 0,
+                  color.data());
+  }
+  for (int64_t j = 0; j < e_count; ++j) {
+    int64_t c_out = j % cols;
+    p0[static_cast<int64_t>(in_row[j]) * cols + color[j]] = in_col[j];
+    p1[static_cast<int64_t>(color[j]) * rows + out_row[j]] = in_row[j];
+    p2[static_cast<int64_t>(out_row[j]) * cols + c_out] = color[j];
+  }
+  return 0;
+}
+
 }  // namespace
 
 extern "C" {
@@ -141,37 +175,60 @@ void ihgnn_color_regular_bipartite(const int32_t* u, const int32_t* v,
 // cols must be a power of two; rows arbitrary. Returns 0 on success.
 int ihgnn_benes_route(const int64_t* perm, int64_t e_count, int32_t rows,
                       int32_t cols, int32_t* p0, int32_t* p1, int32_t* p2) {
-  if (static_cast<int64_t>(rows) * cols != e_count) return 1;
-  if (cols <= 0 || (cols & (cols - 1)) != 0) return 2;
-
-  // demand multigraph: one edge per element, (input row) -> (output row)
-  std::vector<int32_t> in_row(e_count), out_row(e_count);
-  std::vector<int32_t> in_col(e_count);
-  for (int64_t j = 0; j < e_count; ++j) {
-    int64_t src = perm[j];
-    if (src < 0 || src >= e_count) return 3;
-    in_row[j] = static_cast<int32_t>(src / cols);
-    in_col[j] = static_cast<int32_t>(src % cols);
-    out_row[j] = static_cast<int32_t>(j / cols);
-  }
-  std::vector<int32_t> color(e_count);
-  {
-    std::vector<int64_t> all(e_count);
-    for (int64_t e = 0; e < e_count; ++e) all[e] = e;
-    color_recurse(in_row.data(), out_row.data(), rows, all, cols, 0,
-                  color.data());
-  }
   // stage 0: within input row r, the color-k element moves to column k
   // stage 1: within color-row k, the element bound for output row r_out
   //          moves to column r_out
   // stage 2: output (r_out, c_out) takes its element from color column
-  for (int64_t j = 0; j < e_count; ++j) {
-    int64_t c_out = j % cols;
-    p0[static_cast<int64_t>(in_row[j]) * cols + color[j]] = in_col[j];
-    p1[static_cast<int64_t>(color[j]) * rows + out_row[j]] = in_row[j];
-    p2[static_cast<int64_t>(out_row[j]) * cols + c_out] = color[j];
+  return benes_route_core(perm, e_count, rows, cols, p0, p1, p2);
+}
+
+// Hierarchical in-row routing (second Clos level; see ops/benes.py
+// route_rows_hier): each of n_rows rows of `perms` ([n_rows, length],
+// every row a permutation of [0, length)) is routed through its own
+// [B, W] grid (B = length/W) and the three stage tables are bit-packed as
+//   packed = p0 | (s << 10) | (p2 << 20),  s[b, k] = p1[k, b].
+// W must be a power of two; all fields must fit 10 bits. Threaded over
+// row blocks. Returns 0 on success.
+int ihgnn_route_rows(const int32_t* perms, int64_t n_rows, int32_t length,
+                     int32_t w, int32_t* packed) {
+  if (w <= 0 || (w & (w - 1)) != 0 || length % w != 0) return 2;
+  const int32_t b = length / w;
+  if (b > 1024 || w > 1024) return 4;
+
+  std::atomic<int> status{0};
+  int n_threads = static_cast<int>(
+      std::min<int64_t>(n_rows, std::max(1u, std::thread::hardware_concurrency())));
+  auto worker = [&](int64_t lo, int64_t hi) {
+    std::vector<int64_t> row(length);
+    std::vector<int32_t> p0(length), p1(length), p2(length);
+    for (int64_t r = lo; r < hi; ++r) {
+      const int32_t* src = perms + r * length;
+      for (int32_t j = 0; j < length; ++j) row[j] = src[j];
+      int rc = benes_route_core(row.data(), length, b, w, p0.data(),
+                                p1.data(), p2.data());
+      if (rc != 0) {
+        status.store(rc);
+        return;
+      }
+      int32_t* dst = packed + r * length;
+      for (int32_t bb = 0; bb < b; ++bb) {
+        for (int32_t k = 0; k < w; ++k) {
+          int32_t s_bk = p1[static_cast<int64_t>(k) * b + bb];  // p1 is [W, B]
+          dst[bb * w + k] = p0[bb * w + k] | (s_bk << 10)
+                            | (p2[bb * w + k] << 20);
+        }
+      }
+    }
+  };
+  std::vector<std::thread> threads;
+  int64_t per = (n_rows + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; ++t) {
+    int64_t lo = t * per, hi = std::min<int64_t>(n_rows, lo + per);
+    if (lo >= hi) break;
+    threads.emplace_back(worker, lo, hi);
   }
-  return 0;
+  for (auto& th : threads) th.join();
+  return status.load();
 }
 
 }  // extern "C"

@@ -194,6 +194,85 @@ def apply_benes_rect(x: np.ndarray, p0: np.ndarray, p1: np.ndarray,
     return out.reshape(x.shape)
 
 
+# ---------------------------------------------------------------------------
+# Hierarchical in-row decomposition (round 2, second level of the Clos)
+# ---------------------------------------------------------------------------
+#
+# A row-local stage table of length L asks the Pallas kernel for a one-hot
+# matmul of depth L per output element (MXU cost ∝ L). Viewing each row as
+# its own [B, W] grid (W = 128 = one MXU lane tile, B = L/W) and routing it
+# through a second-level Clos factors the row permutation into
+#
+#     out[b, w] = t1[b, p2[b, w]]          in-block one-hot, depth W
+#     t1[b, k]  = a0[s[b, k], k]           cross-block per-lane exchange
+#     a0[j, w]  = in[j, p0[j, w]]          in-block one-hot, depth W
+#
+# cutting MXU depth from L to 2W; the exchange is B(B-1) vector selects in
+# VMEM (no HBM traffic, no matmul). The three [B, W] tables pack into ONE
+# int32 per element so stage-table bandwidth is unchanged:
+#
+#     word = p0 | (s << 10) | (p2 << 20)        (each field < 1024)
+
+HIER_W = 128
+# largest B the kernel unrolls the exchange for (B(B-1) selects per row)
+HIER_B_CAP = 16
+
+
+def hier_eligible(length: int, w: int = HIER_W) -> bool:
+    b = length // w
+    return length % w == 0 and 2 <= b <= HIER_B_CAP and w <= 1024
+
+
+def route_rows_hier(p: np.ndarray, w: int = HIER_W) -> np.ndarray:
+    """Route each row of ``p`` ([NR, L], each row a permutation of
+    range(L)) through a [B, W] Clos; returns packed int32 [NR, L].
+    Pure-NumPy oracle for the native csrc/routing.cc implementation."""
+    p = np.asarray(p, np.int64)
+    nr, length = p.shape
+    b = length // w
+    assert hier_eligible(length, w), (length, w)
+    packed = np.empty((nr, length), np.int32)
+    for r in range(nr):
+        p0, p1, p2 = benes_route_rect(p[r], b, w)
+        s = p1.T                                    # [B, W]
+        packed[r] = (p0.reshape(-1) | (s.reshape(-1) << 10)
+                     | (p2.reshape(-1) << 20)).astype(np.int32)
+    return packed
+
+
+def unpack_hier_rows(packed: np.ndarray, w: int = HIER_W) -> np.ndarray:
+    """Recover the full per-row permutation from packed hier tables
+    (NumPy). full[r, c] = source in-row position of output position c."""
+    packed = np.asarray(packed)
+    nr, length = packed.shape
+    p0 = packed & 1023
+    s = (packed >> 10) & 1023
+    p2 = packed >> 20
+    # out position c = b*W + w': k = p2[c]; j = s[b*W + k]; src = j*W + p0[j*W + k]
+    base = (np.arange(length) // w) * w             # b*W per position
+    k = p2
+    j = np.take_along_axis(s, base[None, :] + k, axis=1)
+    src = j * w + np.take_along_axis(p0, j * w + k, axis=1)
+    return src.astype(np.int64)
+
+
+def apply_hier_rows(x: np.ndarray, packed: np.ndarray,
+                    w: int = HIER_W) -> np.ndarray:
+    """Stage-by-stage reference execution of the hierarchical in-row
+    permutation. x: [NR, L, ...]; returns out[r, c] = x[r, full[r, c]]."""
+    nr, length = packed.shape
+    b = length // w
+    p0 = (packed & 1023).reshape(nr, b, w)
+    s = ((packed >> 10) & 1023).reshape(nr, b, w)
+    p2 = (packed >> 20).reshape(nr, b, w)
+    extra = [1] * (x.ndim - 2)
+    grid = x.reshape(nr, b, w, *x.shape[2:])
+    a0 = np.take_along_axis(grid, p0.reshape(nr, b, w, *extra), axis=2)
+    t1 = np.take_along_axis(a0, s.reshape(nr, b, w, *extra), axis=1)
+    out = np.take_along_axis(t1, p2.reshape(nr, b, w, *extra), axis=2)
+    return out.reshape(x.shape)
+
+
 def apply_benes(x: np.ndarray, p0: np.ndarray, p1: np.ndarray,
                 p2: np.ndarray) -> np.ndarray:
     """Reference execution of the factored permutation (for tests / the

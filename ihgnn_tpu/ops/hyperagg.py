@@ -50,7 +50,9 @@ import numpy as np
 from ihgnn_tpu.graph import Graph2D, HyperGraph
 from ihgnn_tpu.ops import segment as xla_ops
 from ihgnn_tpu.ops.pallas.gather import windowed_gather
-from ihgnn_tpu.ops.pallas.permute import block_transpose, row_local_permute
+from ihgnn_tpu.ops.pallas.permute import (block_transpose, row_local_permute,
+                                          row_local_permute_hier,
+                                          unpack_hier_perm)
 from ihgnn_tpu.ops.pallas.segsum import csr_segment_sum_t
 
 
@@ -138,16 +140,21 @@ def _bt(x):
     return block_transpose(x)
 
 
-def _rlp(x, p):
-    """Row-local permute: out[:, r, c] = x[:, r, p[r, c]]."""
+def _rlp(x, st):
+    """Row-local permute (StageTable): out[:, r, c] = x[:, r, p[r, c]].
+    Hier tables run the two-level kernel (depth-128 one-hots + in-VMEM
+    exchange); flat tables the full-depth one-hot kernel."""
     if not _kernels_active():
+        p = unpack_hier_perm(st.tab) if st.hier else st.tab
         return jnp.take_along_axis(x, jnp.broadcast_to(p[None], x.shape),
                                    axis=2)
-    return row_local_permute(x, p)
+    if st.hier:
+        return row_local_permute_hier(x, st.tab)
+    return row_local_permute(x, st.tab)
 
 
-def _rlp_bt(x, p):
-    """block_transpose(row_local_permute(x, p)).
+def _rlp_bt(x, st):
+    """block_transpose(_rlp(x, st)).
 
     Measured on-chip (tools/kernel_check.py, 2M x 32 bf16): the fused
     one-pass TLP kernel runs 7.9 ms vs 5.4 ms for the two-kernel pair —
@@ -155,10 +162,11 @@ def _rlp_bt(x, p):
     saves — so this dispatches to the pair. ``transposed_local_permute``
     stays available (tested) for layouts where the tradeoff flips."""
     if not _kernels_active():
+        p = unpack_hier_perm(st.tab) if st.hier else st.tab
         y = jnp.take_along_axis(x, jnp.broadcast_to(p[None], x.shape),
                                 axis=2)
         return jnp.swapaxes(y, 1, 2)
-    return block_transpose(row_local_permute(x, p))
+    return block_transpose(_rlp(x, st))
 
 
 def _role_forward(x_pad, rp, rows, cols):

@@ -65,6 +65,9 @@ def load() -> Optional[ctypes.CDLL]:
                                           ctypes.c_int32, ctypes.c_int32,
                                           i32p, i32p, i32p]
         lib.ihgnn_benes_route.restype = ctypes.c_int
+        lib.ihgnn_route_rows.argtypes = [i32p, ctypes.c_int64,
+                                         ctypes.c_int32, ctypes.c_int32, i32p]
+        lib.ihgnn_route_rows.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -96,3 +99,21 @@ def benes_route(perm: np.ndarray, rows: int, cols: int
     if rc != 0:
         raise ValueError(f"ihgnn_benes_route failed with code {rc}")
     return p0, p1, p2
+
+
+def route_rows_hier(p: np.ndarray, w: int) -> Optional[np.ndarray]:
+    """Native hierarchical in-row routing: each row of ``p`` ([NR, L],
+    a permutation of range(L)) → packed int32 stage word (see
+    ops/benes.py route_rows_hier, the NumPy oracle). Returns None if the
+    native library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    p = np.ascontiguousarray(p, np.int32)
+    nr, length = p.shape
+    packed = np.empty((nr, length), np.int32)
+    rc = lib.ihgnn_route_rows(_ptr(p, ctypes.c_int32), nr, length, w,
+                              _ptr(packed, ctypes.c_int32))
+    if rc != 0:
+        raise ValueError(f"ihgnn_route_rows failed with code {rc}")
+    return packed

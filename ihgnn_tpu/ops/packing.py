@@ -29,8 +29,9 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
+from ihgnn_tpu.ops.benes import HIER_W, hier_eligible
 from ihgnn_tpu.ops.pallas.gather import CHUNK, pack_windows
-from ihgnn_tpu.ops.pallas.permute import pick_grid
+from ihgnn_tpu.ops.pallas.permute import StageTable, pick_grid
 from ihgnn_tpu.ops.pallas.segsum import pack_csr_tiles
 
 # A banded-gather row may span at most this many source columns; beyond it
@@ -75,10 +76,10 @@ class RolePack:
     shuffles within rows contained in its DMA blocks.
     """
     gather: ExpandPack
-    fwd_p1: Any                                # [C, R] int32
-    fwd_p2: Any                                # [R, C] int32
-    bwd_p0: Any                                # [R, C] int32
-    bwd_p1: Any                                # [C, R] int32
+    fwd_p1: StageTable                         # [C, R]
+    fwd_p2: StageTable                         # [R, C]
+    bwd_p0: StageTable                         # [R, C]
+    bwd_p1: StageTable                         # [C, R]
 
 
 @struct.dataclass
@@ -106,6 +107,20 @@ def _route(perm: np.ndarray, rows: int, cols: int
         from ihgnn_tpu.ops.benes import benes_route_rect
         routed = benes_route_rect(perm, rows, cols)
     return tuple(np.asarray(p, np.int32) for p in routed)
+
+
+def _stage_table(raw: np.ndarray) -> StageTable:
+    """Pack one row-local stage table for the device kernels: route each
+    row through the second-level [B, W] Clos when the row length allows it
+    (ops/benes.py hier_eligible), else keep the flat permutation."""
+    if not hier_eligible(raw.shape[1]):
+        return StageTable(tab=jnp.asarray(raw, jnp.int32), hier=False)
+    from ihgnn_tpu.ops import native
+    packed = native.route_rows_hier(raw, HIER_W)
+    if packed is None:
+        from ihgnn_tpu.ops.benes import route_rows_hier
+        packed = route_rows_hier(raw, HIER_W)
+    return StageTable(tab=jnp.asarray(packed), hier=True)
 
 
 def _pad_perm(perm: np.ndarray, e_pad: int) -> np.ndarray:
@@ -152,11 +167,12 @@ def _role_pack(role_ids: np.ndarray, order: np.ndarray, rank: np.ndarray,
     np.put_along_axis(ids_t1, b2.astype(np.int64),
                       ids_final.reshape(rows, cols), axis=1)
 
+    st_futs = [pool.submit(_stage_table, t) for t in (f1, f2, b0, b1)]
     rp = RolePack(
         gather=ExpandPack(idx=gp.idx_rel, win=gp.win, w=gp.w,
                           src_pad=gp.src_pad),
-        fwd_p1=jnp.asarray(f1), fwd_p2=jnp.asarray(f2),
-        bwd_p0=jnp.asarray(b0), bwd_p1=jnp.asarray(b1),
+        fwd_p1=st_futs[0].result(), fwd_p2=st_futs[1].result(),
+        bwd_p0=st_futs[2].result(), bwd_p1=st_futs[3].result(),
     )
     return rp, ids_t1.reshape(-1).astype(np.int32), sorted_ids
 

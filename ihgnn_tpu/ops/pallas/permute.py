@@ -24,11 +24,12 @@ transposed [C, R] grid).
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import Any, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from flax import struct
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -249,6 +250,112 @@ def transposed_local_permute(x: jnp.ndarray, p: jnp.ndarray,
                         pltpu.SemaphoreType.DMA],
         **common,
     )(x, p)
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical row-local permute (second Clos level, ops/benes.py
+# route_rows_hier): each length-C row is itself a routed [B, W=128] grid, so
+# the per-output one-hot depth drops from C to 2·W (two in-block MXU
+# matmuls) plus a B-way cross-block exchange done with in-VMEM lane selects
+# — no HBM traffic, ~C/(2W)x less MXU work and ~C/W fewer mask elements
+# than the flat kernel. Stage tables arrive bit-packed one int32 per
+# element (p0 | s<<10 | p2<<20), so table bandwidth is unchanged.
+# ---------------------------------------------------------------------------
+
+HIER_W = 128
+
+
+def _hier_kernel(x_ref, p_ref, o_ref):
+    """Block [d, ROWS, C] + packed hier tables [ROWS, C] → permuted block.
+
+    Per row: stage A applies the in-block source shuffle (one [*, W]·[W, W]
+    one-hot matmul per block), the exchange moves values across blocks at
+    fixed lane (chained selects, B-1 per output block), stage B places
+    values at final lanes (one one-hot matmul per block). f32 inputs ride
+    the bf16 hi/lo split through the matmuls (recombined before the
+    exchange so selects run at d rows, re-split for stage B); bf16 needs no
+    split — stage A's f32 accumulation is an exact selection of bf16
+    values, so the bf16 round-trip between stages is lossless."""
+    d, rows, c = x_ref.shape
+    w = HIER_W
+    b = c // w
+    bf16_in = x_ref.dtype == jnp.bfloat16
+    iota = jax.lax.broadcasted_iota(jnp.int32, (w, w), 0)
+
+    def split(v):
+        hi = v.astype(jnp.bfloat16)
+        lo = (v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return jnp.concatenate([hi, lo], axis=0)
+
+    def onehot_dot(vals, p_slice):
+        oh = (iota == p_slice.reshape(1, w)).astype(jnp.bfloat16)
+        both = jnp.dot(vals if bf16_in else split(vals), oh,
+                       preferred_element_type=jnp.float32)
+        out = both if bf16_in else both[:d] + both[d:]
+        return out.astype(x_ref.dtype)
+
+    for r in range(rows):
+        x = x_ref[:, r, :]
+        word = p_ref[r, :]
+        p0 = word & 1023
+        s = (word >> 10) & 1023
+        p2 = word >> 20
+        a0 = [onehot_dot(x[:, j * w:(j + 1) * w], p0[j * w:(j + 1) * w])
+              for j in range(b)]
+        for bb in range(b):
+            sb = s[bb * w:(bb + 1) * w].reshape(1, w)
+            acc = a0[0]
+            for j in range(1, b):
+                acc = jnp.where(sb == j, a0[j], acc)
+            o_ref[:, r, bb * w:(bb + 1) * w] = onehot_dot(
+                acc, p2[bb * w:(bb + 1) * w])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def row_local_permute_hier(x: jnp.ndarray, packed: jnp.ndarray,
+                           interpret: bool = False) -> jnp.ndarray:
+    """x: [d, R, C]; packed hier tables [R, C] int32 (route_rows_hier) →
+    out[:, r, c] = x[:, r, full_perm[r, c]]."""
+    d, r, c = x.shape
+    assert packed.shape == (r, c), (packed.shape, x.shape)
+    rows = min(16 if x.dtype == jnp.bfloat16 else ROWS, r)
+    assert r % rows == 0 and c % HIER_W == 0, (r, c)
+    return pl.pallas_call(
+        _hier_kernel,
+        grid=(r // rows,),
+        in_specs=[
+            pl.BlockSpec((d, rows, c), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, c), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((d, rows, c), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((d, r, c), x.dtype),
+        interpret=interpret,
+    )(x, packed)
+
+
+def unpack_hier_perm(packed: jnp.ndarray, w: int = HIER_W) -> jnp.ndarray:
+    """Recover the full per-row permutation [R, C] from packed hier stage
+    words (trace-safe jnp; used by the XLA twin paths)."""
+    length = packed.shape[-1]
+    p0 = packed & 1023
+    s = (packed >> 10) & 1023
+    p2 = packed >> 20
+    base = (jnp.arange(length, dtype=packed.dtype) // w) * w
+    j = jnp.take_along_axis(s, base[None, :] + p2, axis=1)
+    return j * w + jnp.take_along_axis(p0, j * w + p2, axis=1)
+
+
+@struct.dataclass
+class StageTable:
+    """One row-local stage table: either a raw per-row permutation
+    (hier=False, flat one-hot kernel) or a packed hierarchical word
+    (hier=True). ``hier`` is trace-static (not a pytree leaf) so kernel
+    dispatch stays a Python branch under jit."""
+    tab: Any                                   # [R, C] int32
+    hier: bool = struct.field(pytree_node=False, default=False)
 
 
 class PermutePlan(NamedTuple):

@@ -5,9 +5,13 @@ import pytest
 
 import jax.numpy as jnp
 
+from ihgnn_tpu.ops.benes import (apply_hier_rows, hier_eligible,
+                                 route_rows_hier, unpack_hier_rows)
 from ihgnn_tpu.ops.pallas.permute import (benes_permute, block_transpose,
                                           make_plan, pick_grid,
-                                          row_local_permute)
+                                          row_local_permute,
+                                          row_local_permute_hier,
+                                          unpack_hier_perm)
 
 
 @pytest.mark.parametrize("e,c", [(16384, 128), (300, 128)])
@@ -49,3 +53,57 @@ def test_row_local_permute_rect():
     out = np.asarray(row_local_permute(x, jnp.asarray(p), interpret=True))
     ref = np.take_along_axis(np.asarray(x), p[None], axis=2)
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# hierarchical (second-level Clos) in-row tables
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("length", [256, 512, 2048])
+def test_route_rows_hier_roundtrip(length):
+    """Oracle and native routing both pack stage words that unpack back to
+    the original per-row permutations, and the staged NumPy execution
+    reproduces the direct gather."""
+    from ihgnn_tpu.ops import native
+    rng = np.random.default_rng(length)
+    nr = 5
+    perms = np.stack([rng.permutation(length) for _ in range(nr)])
+    assert hier_eligible(length)
+    for packed in filter(
+            lambda p: p is not None,
+            [route_rows_hier(perms),
+             native.route_rows_hier(perms.astype(np.int32), 128)]):
+        assert (unpack_hier_rows(packed) == perms).all()
+        x = rng.standard_normal((nr, length, 3)).astype(np.float32)
+        out = apply_hier_rows(x, packed)
+        ref = np.take_along_axis(x, perms[:, :, None], axis=1)
+        np.testing.assert_array_equal(out, ref)
+
+
+def test_hier_eligible_bounds():
+    assert not hier_eligible(128)          # B == 1: flat kernel is fine
+    assert hier_eligible(256) and hier_eligible(2048)
+    assert not hier_eligible(4096)         # B > cap: exchange too deep
+    assert not hier_eligible(300)          # not a multiple of W
+
+
+@pytest.mark.parametrize("dtype", [np.float32, jnp.bfloat16])
+def test_row_local_permute_hier_kernel(dtype):
+    """Two-level Pallas kernel matches the direct row-local gather; bf16
+    selection is bit-exact, f32 rides the hi/lo split (~1e-4)."""
+    rng = np.random.default_rng(2)
+    d, r, c = 8, 16, 512
+    perms = np.stack([rng.permutation(c) for _ in range(r)]).astype(np.int32)
+    packed = jnp.asarray(route_rows_hier(perms))
+    assert np.array_equal(np.asarray(unpack_hier_perm(packed)), perms)
+    x = rng.standard_normal((d, r, c)).astype(np.float32)
+    ref = np.take_along_axis(x.astype(np.float32), perms[None], axis=2)
+    if dtype == jnp.bfloat16:
+        xj = jnp.asarray(x, jnp.bfloat16)
+        ref = np.take_along_axis(np.asarray(xj, np.float32), perms[None],
+                                 axis=2)
+        out = row_local_permute_hier(xj, packed, interpret=True)
+        np.testing.assert_array_equal(np.asarray(out, np.float32), ref)
+    else:
+        out = row_local_permute_hier(jnp.asarray(x), packed, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
