@@ -147,6 +147,35 @@ def main():
     results["scatter_fwdbwd_ms"] = timed(s_both, ef)
     print("scatter_fwdbwd", results["scatter_fwdbwd_ms"], flush=True)
 
+    # --- bf16-stream variants (the bench default path)
+    gather16, scatter16 = make_hyper_ops(graph, bf16_stream=True)
+
+    @jax.jit
+    def g16_both(x):
+        def loss(x):
+            u, q, i = gather16(x)
+            return (jnp.sum((u * u).astype(jnp.float32))
+                    + jnp.sum((q * q).astype(jnp.float32))
+                    + jnp.sum((i * i).astype(jnp.float32)))
+        l, g = jax.value_and_grad(loss)(x)
+        return x + 0 * g, l
+
+    results["gather_fwdbwd_bf16_ms"] = timed(g16_both, x)
+    print("gather_fwdbwd_bf16", results["gather_fwdbwd_bf16_ms"], flush=True)
+
+    ef16 = ef.astype(jnp.bfloat16)
+
+    @jax.jit
+    def s16_both(ef):
+        def loss(ef):
+            return jnp.sum(scatter16(ef) ** 2)
+        l, g = jax.value_and_grad(loss)(ef.astype(jnp.bfloat16))
+        return ef + 0 * g.astype(ef.dtype), l
+
+    results["scatter_fwdbwd_bf16_ms"] = timed(s16_both, ef16)
+    print("scatter_fwdbwd_bf16", results["scatter_fwdbwd_bf16_ms"],
+          flush=True)
+
     # --- full model fwd (conv features only, both layers)
     from ihgnn_tpu.models.rawgnn import RawGnn
     V = 100_000
