@@ -146,6 +146,53 @@ int benes_route_core(const int64_t* perm, int64_t e_count, int32_t rows,
   return 0;
 }
 
+// Beneš butterfly switch routing of a `len`-lane permutation (XOR pairing:
+// stage with shift m swaps lanes k and k^m iff the switch bit at k is set;
+// bits are pair-symmetric). Stage order 64,32,...,1,...,32,64 for len=128.
+// Accumulates bit (1 << stage) into words[lane0 + lane].
+void bfly_route(const int32_t* perm, int32_t len, int stage0, int lane0,
+                int n_stages, int32_t* words) {
+  if (len == 2) {
+    if (perm[0] == 1) {
+      words[lane0] |= 1 << stage0;
+      words[lane0 + 1] |= 1 << stage0;
+    }
+    return;
+  }
+  const int32_t m = len / 2;
+  std::vector<int32_t> inv(len);
+  std::vector<int8_t> color(len, -1);
+  for (int32_t j = 0; j < len; ++j) inv[perm[j]] = j;
+  for (int32_t start = 0; start < len; ++start) {
+    if (color[start] >= 0) continue;
+    int32_t j = start;
+    while (color[j] < 0) {
+      color[j] = 0;                       // j rides the upper subnet
+      int32_t jp = j ^ m;                 // output-pair partner → lower
+      color[jp] = 1;
+      // input-pair constraint: perm[jp]'s partner input rides upper
+      j = inv[perm[jp] ^ m];
+    }
+  }
+  const int exit_stage = n_stages - 1 - stage0;
+  for (int32_t k = 0; k < m; ++k) {
+    if (color[inv[k]] == 1) {             // input k belongs to lower: swap
+      words[lane0 + k] |= 1 << stage0;
+      words[lane0 + k + m] |= 1 << stage0;
+    }
+    if (color[k] == 1) {                  // output k served by lower: swap
+      words[lane0 + k] |= 1 << exit_stage;
+      words[lane0 + k + m] |= 1 << exit_stage;
+    }
+  }
+  std::vector<int32_t> sub(len);
+  for (int32_t j = 0; j < len; ++j) {
+    sub[static_cast<int32_t>(color[j]) * m + (j % m)] = perm[j] % m;
+  }
+  bfly_route(sub.data(), m, stage0 + 1, lane0, n_stages, words);
+  bfly_route(sub.data() + m, m, stage0 + 1, lane0 + m, n_stages, words);
+}
+
 }  // namespace
 
 extern "C" {
@@ -216,6 +263,67 @@ int ihgnn_route_rows(const int32_t* perms, int64_t n_rows, int32_t length,
           int32_t s_bk = p1[static_cast<int64_t>(k) * b + bb];  // p1 is [W, B]
           dst[bb * w + k] = p0[bb * w + k] | (s_bk << 10)
                             | (p2[bb * w + k] << 20);
+        }
+      }
+    }
+  };
+  std::vector<std::thread> threads;
+  int64_t per = (n_rows + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; ++t) {
+    int64_t lo = t * per, hi = std::min<int64_t>(n_rows, lo + per);
+    if (lo >= hi) break;
+    threads.emplace_back(worker, lo, hi);
+  }
+  for (auto& th : threads) th.join();
+  return status.load();
+}
+
+// Butterfly variant of ihgnn_route_rows: each row routes through a
+// [B, W=128] Clos whose in-block stages are Beneš switch words
+// (13 stages, XOR pairing). Packed per element:
+//   bits [0, 13)  stage-A switches of the SOURCE block, this lane
+//   bits [13, 17) exchange delta = (src_block - out_block) mod B
+//   bits [17, 30) stage-B switches of the OUTPUT block, this lane
+// Requires w == 128 and B <= 16. Threaded over row blocks. Returns 0 on
+// success.
+int ihgnn_route_rows_bfly(const int32_t* perms, int64_t n_rows,
+                          int32_t length, int32_t w, int32_t* packed) {
+  if (w != 128 || length % w != 0) return 2;
+  const int32_t b = length / w;
+  if (b < 1 || b > 16) return 4;
+  const int n_stages = 13;  // 2*log2(128) - 1
+
+  std::atomic<int> status{0};
+  int n_threads = static_cast<int>(std::min<int64_t>(
+      n_rows, std::max(1u, std::thread::hardware_concurrency())));
+  auto worker = [&](int64_t lo, int64_t hi) {
+    std::vector<int64_t> row(length);
+    std::vector<int32_t> p0(length), p1(length), p2(length);
+    std::vector<int32_t> aw(length), bw(length), blk(w);
+    for (int64_t r = lo; r < hi; ++r) {
+      const int32_t* src = perms + r * length;
+      for (int32_t j = 0; j < length; ++j) row[j] = src[j];
+      int rc = benes_route_core(row.data(), length, b, w, p0.data(),
+                                p1.data(), p2.data());
+      if (rc != 0) {
+        status.store(rc);
+        return;
+      }
+      std::fill(aw.begin(), aw.end(), 0);
+      std::fill(bw.begin(), bw.end(), 0);
+      for (int32_t bb = 0; bb < b; ++bb) {
+        bfly_route(p0.data() + static_cast<int64_t>(bb) * w, w, 0, bb * w,
+                   n_stages, aw.data());
+        bfly_route(p2.data() + static_cast<int64_t>(bb) * w, w, 0, bb * w,
+                   n_stages, bw.data());
+      }
+      int32_t* dst = packed + r * length;
+      for (int32_t bb = 0; bb < b; ++bb) {
+        for (int32_t k = 0; k < w; ++k) {
+          int32_t s_bk = p1[static_cast<int64_t>(k) * b + bb];  // [W, B]
+          int32_t delta = ((s_bk - bb) % b + b) % b;
+          dst[bb * w + k] = aw[bb * w + k] | (delta << n_stages)
+                            | (bw[bb * w + k] << (n_stages + 4));
         }
       }
     }

@@ -49,9 +49,11 @@ import numpy as np
 
 from ihgnn_tpu.graph import Graph2D, HyperGraph
 from ihgnn_tpu.ops import segment as xla_ops
-from ihgnn_tpu.ops.pallas.gather import windowed_gather
+from ihgnn_tpu.ops.pallas.gather import EXP_RT, windowed_gather, windowed_gather_t
 from ihgnn_tpu.ops.pallas.permute import (block_transpose, row_local_permute,
                                           row_local_permute_hier,
+                                          tlp_hier_ok,
+                                          transposed_local_permute_hier,
                                           unpack_hier_perm)
 from ihgnn_tpu.ops.pallas.segsum import csr_segment_sum_t
 
@@ -140,6 +142,15 @@ def _bt(x):
     return block_transpose(x)
 
 
+def _expand_t(x_pad, ep, rows, cols):
+    """Fused transpose(expand): [d, src_pad] → [d, C, R] — one kernel, no
+    intermediate HBM round-trip (hyperagg._role_forward's first two steps)."""
+    if not _kernels_active():
+        d = x_pad.shape[0]
+        return jnp.swapaxes(_expand(x_pad, ep).reshape(d, rows, cols), 1, 2)
+    return windowed_gather_t(x_pad, ep.idx, ep.win, ep.w)
+
+
 def _rlp(x, st):
     """Row-local permute (StageTable): out[:, r, c] = x[:, r, p[r, c]].
     Hier tables run the two-level kernel (depth-128 one-hots + in-VMEM
@@ -154,27 +165,39 @@ def _rlp(x, st):
 
 
 def _rlp_bt(x, st):
-    """block_transpose(_rlp(x, st)).
+    """block_transpose(_rlp(x, st)) — fused into one HBM pass when the
+    stage table is hierarchical.
 
-    Measured on-chip (tools/kernel_check.py, 2M x 32 bf16): the fused
-    one-pass TLP kernel runs 7.9 ms vs 5.4 ms for the two-kernel pair —
-    the per-(row, chunk) scratch transpose costs more than the HBM pass it
-    saves — so this dispatches to the pair. ``transposed_local_permute``
-    stays available (tested) for layouts where the tradeoff flips."""
+    For FLAT tables the fused TLP kernel loses (measured on-chip,
+    tools/kernel_check.py, 2M x 32 bf16: 7.9 ms fused vs 5.4 ms pair) —
+    its per-(row, chunk) one-hot depth is the full row length C. The
+    HIERARCHICAL fused kernel has the same 2x128 one-hot depth as the
+    plain hier kernel, so it saves the intermediate's HBM round-trip at
+    no MXU cost; it dispatches whenever the table is hier and the row
+    tile fits scoped VMEM."""
     if not _kernels_active():
         p = unpack_hier_perm(st.tab) if st.hier else st.tab
         y = jnp.take_along_axis(x, jnp.broadcast_to(p[None], x.shape),
                                 axis=2)
         return jnp.swapaxes(y, 1, 2)
+    if st.hier and tlp_hier_ok(*x.shape, x.dtype):
+        return transposed_local_permute_hier(x, st.tab)
     return block_transpose(_rlp(x, st))
 
 
 def _role_forward(x_pad, rp, rows, cols):
-    """Role features in edge order: expand∘stage0 (fused), then
-    T · (p1·T fused) · p2 — 4 HBM passes per role."""
+    """Role features in edge order: (expand∘stage0, transposed) fused, then
+    (p1·T) fused, then p2 — 3 kernels, each one HBM round-trip."""
     d = x_pad.shape[0]
-    a0 = _expand(x_pad, rp.gather).reshape(d, rows, cols)
-    t0 = _bt(a0)
+    ep = rp.gather
+    # the fused kernel transposes the EXPAND grid, which matches the stage
+    # grid only when the packer's EXPAND_COLS row width equals cols (true
+    # at bench scale; small graphs pack the expansion wider than the grid)
+    if (ep.idx.shape[0] == rows and ep.idx.shape[1] * 128 == cols
+            and rows % EXP_RT == 0):
+        t0 = _expand_t(x_pad, ep, rows, cols)
+    else:
+        t0 = _bt(_expand(x_pad, ep).reshape(d, rows, cols))
     t1 = _rlp_bt(t0, rp.fwd_p1)
     out = _rlp(t1, rp.fwd_p2)
     return out.reshape(d, rows * cols)

@@ -68,6 +68,10 @@ def load() -> Optional[ctypes.CDLL]:
         lib.ihgnn_route_rows.argtypes = [i32p, ctypes.c_int64,
                                          ctypes.c_int32, ctypes.c_int32, i32p]
         lib.ihgnn_route_rows.restype = ctypes.c_int
+        lib.ihgnn_route_rows_bfly.argtypes = [i32p, ctypes.c_int64,
+                                              ctypes.c_int32, ctypes.c_int32,
+                                              i32p]
+        lib.ihgnn_route_rows_bfly.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -116,4 +120,22 @@ def route_rows_hier(p: np.ndarray, w: int) -> Optional[np.ndarray]:
                               _ptr(packed, ctypes.c_int32))
     if rc != 0:
         raise ValueError(f"ihgnn_route_rows failed with code {rc}")
+    return packed
+
+
+def route_rows_bfly(p: np.ndarray, w: int = 128) -> Optional[np.ndarray]:
+    """Native butterfly in-row routing: each row of ``p`` ([NR, L], a
+    permutation of range(L)) → packed int32 butterfly word (see
+    ops/bfly.py pack_bfly_words, the NumPy oracle). Returns None if the
+    native library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    p = np.ascontiguousarray(p, np.int32)
+    nr, length = p.shape
+    packed = np.empty((nr, length), np.int32)
+    rc = lib.ihgnn_route_rows_bfly(_ptr(p, ctypes.c_int32), nr, length, w,
+                                   _ptr(packed, ctypes.c_int32))
+    if rc != 0:
+        raise ValueError(f"ihgnn_route_rows_bfly failed with code {rc}")
     return packed

@@ -172,6 +172,111 @@ def windowed_gather(x_t: jnp.ndarray, idx_rel: jnp.ndarray, win: jnp.ndarray,
     )(win, idx_rel, x_t)
 
 
+# ---------------------------------------------------------------------------
+# Fused transposed windowed gather: block_transpose(windowed_gather(...))
+# in ONE kernel — every q/i role-forward starts with expand-then-transpose
+# (hyperagg._role_forward), so emitting the [d, C, R] layout directly saves
+# the intermediate's HBM round-trip.
+#
+# Grid (R//EXP_RT, C//CHUNK), chunk axis fastest. At i == 0 the program
+# DMAs all EXP_RT row windows of the tile into a [RT, d, w] scratch (the
+# windows of consecutive rows overlap, but fetching per-row keeps the
+# buffer at RT*d*w instead of a data-dependent span). Each chunk then runs
+# the same per-row depth-w one-hot matmuls as the row-major kernel into
+# row-major scratch y, and one in-VMEM swapaxes writes the transposed
+# [d, CHUNK, RT] output block.
+# ---------------------------------------------------------------------------
+
+EXP_RT = 128
+
+
+def _gather_t_kernel(win_ref, idx_ref, x_hbm, o_ref, xwin, y_ref, sems,
+                     *, w: int):
+    rt = xwin.shape[0]
+    d = xwin.shape[1]
+    i = pl.program_id(1)
+    j = pl.program_id(0)
+    grp = 16
+    bf16_in = xwin.dtype == jnp.bfloat16
+
+    @pl.when(i == 0)
+    def _fetch_windows():
+        def start(rr, _):
+            off = pl.multiple_of(win_ref[j * rt + rr], CHUNK)
+            pltpu.make_async_copy(x_hbm.at[:, pl.ds(off, w)],
+                                  xwin.at[rr], sems.at[rr]).start()
+            return 0
+
+        jax.lax.fori_loop(0, rt, start, 0, unroll=False)
+
+        def wait(rr, _):
+            off = pl.multiple_of(win_ref[j * rt + rr], CHUNK)
+            pltpu.make_async_copy(x_hbm.at[:, pl.ds(off, w)],
+                                  xwin.at[rr], sems.at[rr]).wait()
+            return 0
+
+        jax.lax.fori_loop(0, rt, wait, 0, unroll=False)
+
+    def body(g, _):
+        rows = pl.ds(g * grp, grp)
+        xg = xwin[rows]                          # [grp, d, w]
+        rel = idx_ref[rows, 0, :]                # [grp, CHUNK]
+        outs = []
+        for rr in range(grp):
+            x = xg[rr]
+            if bf16_in:
+                xs = x
+            else:
+                xhi = x.astype(jnp.bfloat16)
+                xlo = (x - xhi.astype(jnp.float32)).astype(jnp.bfloat16)
+                xs = jnp.concatenate([xhi, xlo], axis=0)
+            onehot = (jax.lax.broadcasted_iota(jnp.int32, (w, CHUNK), 0)
+                      == rel[rr].reshape(1, CHUNK)).astype(jnp.bfloat16)
+            both = jnp.dot(xs, onehot, preferred_element_type=jnp.float32)
+            outs.append((both if bf16_in else both[:d] + both[d:])
+                        .astype(y_ref.dtype))
+        y_ref[:, rows, :] = jnp.stack(outs, axis=1)
+        return 0
+
+    jax.lax.fori_loop(0, rt // grp, body, 0, unroll=False)
+    o_ref[...] = jnp.swapaxes(y_ref[...], 1, 2)
+
+
+@functools.partial(jax.jit, static_argnames=("w", "interpret"))
+def windowed_gather_t(x_t: jnp.ndarray, idx_rel: jnp.ndarray,
+                      win: jnp.ndarray, w: int,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Fused transpose(windowed_gather): → [d, C, R] with
+    out[:, c, r] = x_t[:, win[r] + idx[r, c]]."""
+    d, n_pad = x_t.shape
+    r, n_chunks, _ = idx_rel.shape
+    c = n_chunks * CHUNK
+    assert w % CHUNK == 0 and n_pad % CHUNK == 0, (w, n_pad)
+    assert r % EXP_RT == 0, r
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(r // EXP_RT, n_chunks),
+        in_specs=[
+            pl.BlockSpec((EXP_RT, 1, CHUNK), lambda j, i, win: (j, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        ],
+        out_specs=pl.BlockSpec((d, CHUNK, EXP_RT), lambda j, i, win: (0, i, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((EXP_RT, d, w), x_t.dtype),
+            pltpu.VMEM((d, EXP_RT, CHUNK), x_t.dtype),
+            pltpu.SemaphoreType.DMA((EXP_RT,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_gather_t_kernel, w=w),
+        out_shape=jax.ShapeDtypeStruct((d, c, r), x_t.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(win, idx_rel, x_t)
+
+
 def expand_pack(sorted_ids: np.ndarray, c: int = 1024,
                 w_cap: int = 16384) -> Tuple[WindowedGatherPack, int]:
     """Pack a sorted duplicate-bearing id array [K] (an expansion) into the

@@ -336,6 +336,202 @@ def row_local_permute_hier(x: jnp.ndarray, packed: jnp.ndarray,
     )(x, packed)
 
 
+# ---------------------------------------------------------------------------
+# Fused hierarchical transposed-local-permute:
+#   out = block_transpose(row_local_permute_hier(x, packed))
+# in ONE kernel — the rlp+bt pair appears ~24 times per train step
+# (hyperagg._rlp_bt), so saving the intermediate's HBM round-trip is the
+# single largest stream reduction available after the hier decomposition.
+#
+# Grid (R//TLP_RT, C//HIER_W), chunk axis fastest. Per row-tile j:
+#   i == 0: DMA the [d, RT, C] x tile into VMEM, run stage A (in-block
+#           source shuffles) for the WHOLE tile into scratch a0 — the
+#           exchange of any output chunk can pull from any block, so all of
+#           stage A must exist before the first chunk is emitted.
+#   each i: cross-block exchange (chained lane selects on a0) + stage B
+#           placement into row-major scratch y, then one in-VMEM swapaxes
+#           writes the transposed [d, CHUNK, RT] output block.
+# MXU work is identical to row_local_permute_hier; only the HBM traffic
+# halves (read x once, write out once). Row loops run as fori_loop over
+# 16-row groups so the Mosaic program stays at the plain hier kernel's
+# size instead of unrolling TLP_RT=128 rows.
+# ---------------------------------------------------------------------------
+
+
+def tlp_hier_ok(d: int, r: int, c: int, dtype) -> bool:
+    """Whether the fused hier TLP kernel handles this shape: grid tiling
+    constraints + two [d, TLP_RT, C] scratch buffers within scoped VMEM."""
+    if r % TLP_RT or c % HIER_W:
+        return False
+    tile = d * TLP_RT * c * jnp.dtype(dtype).itemsize
+    return 2 * tile + (4 << 20) <= _TLP_BUDGET
+
+
+def _tlp_hier_kernel(x_hbm, p_ref, pc_ref, o_ref, xv, a0, y_ref, sem):
+    d, rt, c = xv.shape
+    w = HIER_W
+    b = c // w
+    bf16_in = xv.dtype == jnp.bfloat16
+    iota = jax.lax.broadcasted_iota(jnp.int32, (w, w), 0)
+    grp = 16                                   # rows per fori body
+    i = pl.program_id(1)                       # chunk (output block) axis
+    j = pl.program_id(0)                       # row-tile axis
+
+    def split(v):
+        hi = v.astype(jnp.bfloat16)
+        lo = (v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return jnp.concatenate([hi, lo], axis=0)
+
+    def onehot_dot(vals, p_slice):
+        oh = (iota == p_slice.reshape(1, w)).astype(jnp.bfloat16)
+        both = jnp.dot(vals if bf16_in else split(vals), oh,
+                       preferred_element_type=jnp.float32)
+        out = both if bf16_in else both[:d] + both[d:]
+        return out.astype(xv.dtype)
+
+    @pl.when(i == 0)
+    def _fetch_and_stage_a():
+        dma = pltpu.make_async_copy(
+            x_hbm.at[:, pl.ds(j * rt, rt), :], xv, sem)
+        dma.start()
+        dma.wait()
+
+        # fully static loops: Mosaic optimizes static slices/stores far
+        # better than dynamic-index fori bodies (measured 5.3 vs 3.3 ms
+        # for the dynamic version at f32 bench shape)
+        for g in range(rt // grp):
+            pg = p_ref[g * grp:(g + 1) * grp, :] & 1023
+            for rr in range(grp):
+                r_abs = g * grp + rr
+                x_row = xv[:, r_abs, :]
+                for bb in range(b):
+                    a0[:, r_abs, bb * w:(bb + 1) * w] = onehot_dot(
+                        x_row[:, bb * w:(bb + 1) * w],
+                        pg[rr, bb * w:(bb + 1) * w])
+
+    word = pc_ref[...]                          # [rt, w] chunk-i words
+    sg = (word >> 10) & 1023
+    p2g = word >> 20
+    for r_abs in range(rt):
+        sb = sg[r_abs, :].reshape(1, w)
+        acc = a0[:, r_abs, 0:w]
+        for blk in range(1, b):
+            acc = jnp.where(sb == blk, a0[:, r_abs, blk * w:(blk + 1) * w],
+                            acc)
+        y_ref[:, r_abs, :] = onehot_dot(acc, p2g[r_abs, :])
+    o_ref[...] = jnp.swapaxes(y_ref[...], 1, 2)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def transposed_local_permute_hier(x: jnp.ndarray, packed: jnp.ndarray,
+                                  interpret: bool = False) -> jnp.ndarray:
+    """x: [d, R, C]; packed hier tables [R, C] int32 (route_rows_hier) →
+    out [d, C, R] with out[:, c, r] = x[:, r, full_perm[r, c]]."""
+    d, r, c = x.shape
+    assert packed.shape == (r, c), (packed.shape, x.shape)
+    assert r % TLP_RT == 0 and c % HIER_W == 0, (r, c)
+    isz = jnp.dtype(x.dtype).itemsize
+    tile = d * TLP_RT * c * isz
+    assert 2 * tile + (4 << 20) <= _TLP_BUDGET, (d, c, x.dtype)
+    return pl.pallas_call(
+        _tlp_hier_kernel,
+        grid=(r // TLP_RT, c // HIER_W),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec((TLP_RT, c), lambda j, i: (j, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((TLP_RT, HIER_W), lambda j, i: (j, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((d, HIER_W, TLP_RT), lambda j, i: (0, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((d, c, r), x.dtype),
+        scratch_shapes=[pltpu.VMEM((d, TLP_RT, c), x.dtype),
+                        pltpu.VMEM((d, TLP_RT, c), x.dtype),
+                        pltpu.VMEM((d, TLP_RT, HIER_W), x.dtype),
+                        pltpu.SemaphoreType.DMA],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_TLP_BUDGET + (16 << 20)),
+        interpret=interpret,
+    )(x, packed, packed)
+
+
+# ---------------------------------------------------------------------------
+# Butterfly (Beneš) row-local permute: replaces the in-block one-hot MXU
+# matmuls of the hier kernel with 13 VPU stages of roll+select per level.
+# At d=32 the one-hots are weight-load-bound (~160 MXU cycles per 128
+# entries); the butterfly runs ~0.5 cycles/entry on the VPU and is exact
+# in every dtype (pure data movement — no bf16 hi/lo split needed).
+# Switch words are host-routed (ops/bfly.py / csrc/routing.cc) and packed
+# one int32 per element: stageA[0:13) | exchange-delta[13:17) | stageB[17:30).
+#
+# The whole [d, rows, C] block is processed with full-block vector ops:
+# XOR-pairing shifts are < 128, so lane rolls never cross the 128-lane
+# blocks they permute; the cross-block exchange rides (B-1) circular rolls
+# by multiples of 128 selected per-lane by the packed delta.
+# ---------------------------------------------------------------------------
+
+BFLY_STAGES = 13
+BFLY_SHIFTS = (64, 32, 16, 8, 4, 2, 1, 2, 4, 8, 16, 32, 64)
+
+
+def _bfly_apply(x, bits):
+    """Apply 13 butterfly stages along the lane axis of x [d, rows, c];
+    bits [rows, c] int32 carry one switch bit per stage in bits [0, 13)."""
+    c = x.shape[2]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, c), 2)
+    for t, m in enumerate(BFLY_SHIFTS):
+        hi = (lane & m) != 0                          # static direction
+        sw = ((bits >> t) & 1)[None] != 0             # [1, rows, c]
+        partner = jnp.where(hi, pltpu.roll(x, m, 2),
+                            pltpu.roll(x, c - m, 2))   # -m mod c
+        x = jnp.where(sw, partner, x)
+    return x
+
+
+def _bfly_permute_block(x, word, w: int = HIER_W):
+    """Full hierarchical in-row permute of one [d, rows, c] block given
+    packed butterfly words [rows, c]."""
+    c = x.shape[2]
+    b = c // w
+    a = _bfly_apply(x, word & 0x1FFF)
+    if b > 1:
+        delta = ((word >> BFLY_STAGES) & 15)[None]    # [1, rows, c]
+        acc = a
+        for dd in range(1, b):
+            acc = jnp.where(delta == dd, pltpu.roll(a, c - dd * w, 2), acc)
+    else:
+        acc = a
+    return _bfly_apply(acc, word >> (BFLY_STAGES + 4))
+
+
+def _bfly_kernel(x_ref, p_ref, o_ref):
+    o_ref[...] = _bfly_permute_block(x_ref[...], p_ref[...])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def row_local_permute_bfly(x: jnp.ndarray, words: jnp.ndarray,
+                           interpret: bool = False) -> jnp.ndarray:
+    """x: [d, R, C]; packed butterfly words [R, C] int32 (ops/bfly.py) →
+    out[:, r, c] = x[:, r, full_perm[r, c]]."""
+    d, r, c = x.shape
+    assert words.shape == (r, c), (words.shape, x.shape)
+    rows = min(16 if x.dtype == jnp.bfloat16 else ROWS, r)
+    assert r % rows == 0 and c % HIER_W == 0, (r, c)
+    return pl.pallas_call(
+        _bfly_kernel,
+        grid=(r // rows,),
+        in_specs=[
+            pl.BlockSpec((d, rows, c), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, c), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((d, rows, c), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((d, r, c), x.dtype),
+        interpret=interpret,
+    )(x, words)
+
+
 def unpack_hier_perm(packed: jnp.ndarray, w: int = HIER_W) -> jnp.ndarray:
     """Recover the full per-row permutation [R, C] from packed hier stage
     words (trace-safe jnp; used by the XLA twin paths)."""

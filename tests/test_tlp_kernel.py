@@ -62,3 +62,37 @@ def test_tlp_hbm_variant():
     finally:
         pm._TLP_BUDGET = orig
     np.testing.assert_array_equal(out, _ref(np.asarray(x, np.float32), p))
+
+
+def test_tlp_hier_matches_reference():
+    """Fused hier TLP == transpose(hier rlp) == take_along_axis reference."""
+    from ihgnn_tpu.ops.benes import route_rows_hier, unpack_hier_rows
+    from ihgnn_tpu.ops.pallas.permute import (tlp_hier_ok,
+                                              transposed_local_permute_hier)
+    rng = np.random.default_rng(3)
+    d, r, c = 8, 256, 256                      # b = 2 blocks of W=128
+    assert tlp_hier_ok(d, r, c, jnp.float32)
+    x = rng.standard_normal((d, r, c)).astype(np.float32)
+    p = np.stack([rng.permutation(c) for _ in range(r)])
+    packed = route_rows_hier(p)
+    full = unpack_hier_rows(packed)
+    np.testing.assert_array_equal(full, p)
+    out = np.asarray(transposed_local_permute_hier(
+        jnp.asarray(x), jnp.asarray(packed), interpret=True))
+    np.testing.assert_allclose(out, _ref(x, p.astype(np.int32)),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_tlp_hier_bf16_exact_wide():
+    """bf16, b=8 blocks (the bench C=1024 shape class, scaled down rows)."""
+    from ihgnn_tpu.ops.benes import route_rows_hier
+    from ihgnn_tpu.ops.pallas.permute import transposed_local_permute_hier
+    rng = np.random.default_rng(4)
+    d, r, c = 4, 128, 1024
+    x = jnp.asarray(rng.standard_normal((d, r, c))).astype(jnp.bfloat16)
+    p = np.stack([rng.permutation(c) for _ in range(r)])
+    packed = route_rows_hier(p)
+    out = np.asarray(transposed_local_permute_hier(
+        x, jnp.asarray(packed), interpret=True)).astype(np.float32)
+    np.testing.assert_array_equal(
+        out, _ref(np.asarray(x, np.float32), p.astype(np.int32)))
