@@ -51,10 +51,11 @@ from ihgnn_tpu.graph import Graph2D, HyperGraph
 from ihgnn_tpu.ops import segment as xla_ops
 from ihgnn_tpu.ops.pallas.gather import EXP_RT, windowed_gather, windowed_gather_t
 from ihgnn_tpu.ops.pallas.permute import (block_transpose, row_local_permute,
+                                          row_local_permute_bfly,
                                           row_local_permute_hier,
                                           tlp_hier_ok,
-                                          transposed_local_permute_hier,
-                                          unpack_hier_perm)
+                                          transposed_local_permute_bfly,
+                                          unpack_stage_perm)
 from ihgnn_tpu.ops.pallas.segsum import csr_segment_sum_t
 
 
@@ -153,35 +154,36 @@ def _expand_t(x_pad, ep, rows, cols):
 
 def _rlp(x, st):
     """Row-local permute (StageTable): out[:, r, c] = x[:, r, p[r, c]].
-    Hier tables run the two-level kernel (depth-128 one-hots + in-VMEM
-    exchange); flat tables the full-depth one-hot kernel."""
+    bfly tables run the pure-VPU roll+select kernel; hier the two-level
+    one-hot kernel; flat the full-depth one-hot kernel."""
     if not _kernels_active():
-        p = unpack_hier_perm(st.tab) if st.hier else st.tab
+        p = unpack_stage_perm(st)
         return jnp.take_along_axis(x, jnp.broadcast_to(p[None], x.shape),
                                    axis=2)
-    if st.hier:
+    if st.kind == "bfly":
+        return row_local_permute_bfly(x, st.tab)
+    if st.kind == "hier":
         return row_local_permute_hier(x, st.tab)
     return row_local_permute(x, st.tab)
 
 
 def _rlp_bt(x, st):
-    """block_transpose(_rlp(x, st)) — fused into one HBM pass when the
-    stage table is hierarchical.
+    """block_transpose(_rlp(x, st)) — fused into one HBM pass for bfly
+    tables (transposed_local_permute_bfly).
 
-    For FLAT tables the fused TLP kernel loses (measured on-chip,
-    tools/kernel_check.py, 2M x 32 bf16: 7.9 ms fused vs 5.4 ms pair) —
-    its per-(row, chunk) one-hot depth is the full row length C. The
-    HIERARCHICAL fused kernel has the same 2x128 one-hot depth as the
-    plain hier kernel, so it saves the intermediate's HBM round-trip at
-    no MXU cost; it dispatches whenever the table is hier and the row
-    tile fits scoped VMEM."""
+    Fused one-hot variants LOSE to the two-kernel pair (amortized
+    on-chip, 2M x 32: flat TLP 21.0 vs 4.9 ms/pair f32; hier TLP 8.5 vs
+    3.3 — the per-row MXU loops defeat Mosaic's pipelining), so hier and
+    flat tables dispatch to the pair. The butterfly kernel is full-block
+    vector code with no row loops, which is what makes its fusion
+    profitable."""
     if not _kernels_active():
-        p = unpack_hier_perm(st.tab) if st.hier else st.tab
+        p = unpack_stage_perm(st)
         y = jnp.take_along_axis(x, jnp.broadcast_to(p[None], x.shape),
                                 axis=2)
         return jnp.swapaxes(y, 1, 2)
-    if st.hier and tlp_hier_ok(*x.shape, x.dtype):
-        return transposed_local_permute_hier(x, st.tab)
+    if st.kind == "bfly" and tlp_hier_ok(*x.shape, x.dtype):
+        return transposed_local_permute_bfly(x, st.tab)
     return block_transpose(_rlp(x, st))
 
 

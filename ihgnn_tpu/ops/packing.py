@@ -110,17 +110,25 @@ def _route(perm: np.ndarray, rows: int, cols: int
 
 
 def _stage_table(raw: np.ndarray) -> StageTable:
-    """Pack one row-local stage table for the device kernels: route each
-    row through the second-level [B, W] Clos when the row length allows it
-    (ops/benes.py hier_eligible), else keep the flat permutation."""
-    if not hier_eligible(raw.shape[1]):
-        return StageTable(tab=jnp.asarray(raw, jnp.int32), hier=False)
+    """Pack one row-local stage table for the device kernels, preferring
+    the butterfly packing (pure-VPU roll+select kernel, ops/bfly.py; rows
+    of B*128 lanes with B <= 16), then the hierarchical one-hot packing
+    (ops/benes.py hier_eligible), then the flat permutation."""
+    length = raw.shape[1]
     from ihgnn_tpu.ops import native
+    if length % 128 == 0 and 1 <= length // 128 <= 16:
+        packed = native.route_rows_bfly(raw)
+        if packed is None:
+            from ihgnn_tpu.ops.bfly import route_rows_bfly
+            packed = route_rows_bfly(raw)
+        return StageTable(tab=jnp.asarray(packed), kind="bfly")
+    if not hier_eligible(length):
+        return StageTable(tab=jnp.asarray(raw, jnp.int32), kind="flat")
     packed = native.route_rows_hier(raw, HIER_W)
     if packed is None:
         from ihgnn_tpu.ops.benes import route_rows_hier
         packed = route_rows_hier(raw, HIER_W)
-    return StageTable(tab=jnp.asarray(packed), hier=True)
+    return StageTable(tab=jnp.asarray(packed), kind="hier")
 
 
 def _pad_perm(perm: np.ndarray, e_pad: int) -> np.ndarray:

@@ -220,7 +220,7 @@ def _gather_t_kernel(win_ref, idx_ref, x_hbm, o_ref, xwin, y_ref, sems,
     def body(g, _):
         rows = pl.ds(g * grp, grp)
         xg = xwin[rows]                          # [grp, d, w]
-        rel = idx_ref[rows, 0, :]                # [grp, CHUNK]
+        rel = idx_ref[rows, :]                   # [grp, CHUNK]
         outs = []
         for rr in range(grp):
             x = xg[rr]
@@ -257,7 +257,10 @@ def windowed_gather_t(x_t: jnp.ndarray, idx_rel: jnp.ndarray,
         num_scalar_prefetch=1,
         grid=(r // EXP_RT, n_chunks),
         in_specs=[
-            pl.BlockSpec((EXP_RT, 1, CHUNK), lambda j, i, win: (j, i, 0),
+            # flat [R, C] view: per program the chunk's [EXP_RT, CHUNK]
+            # relative indices (a (*, 1, 128) 3D block violates Mosaic's
+            # tiling constraint)
+            pl.BlockSpec((EXP_RT, CHUNK), lambda j, i, win: (j, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
@@ -274,7 +277,7 @@ def windowed_gather_t(x_t: jnp.ndarray, idx_rel: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((d, c, r), x_t.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(win, idx_rel, x_t)
+    )(win, idx_rel.reshape(r, c), x_t)
 
 
 def expand_pack(sorted_ids: np.ndarray, c: int = 1024,

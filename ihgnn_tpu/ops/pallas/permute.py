@@ -454,6 +454,55 @@ def transposed_local_permute_hier(x: jnp.ndarray, packed: jnp.ndarray,
     )(x, packed, packed)
 
 
+def _tlp_bfly_kernel(x_hbm, p_ref, o_ref, av, y_ref, sem):
+    """Fused butterfly permute + block transpose: at i == 0 DMA the
+    [d, RT, C] row tile and butterfly-permute the WHOLE tile (full-block
+    vector ops — no row loops) into scratch; each chunk then stores one
+    in-VMEM swapaxes of a [d, RT, CHUNK] slice. One HBM round-trip for
+    the rlp+bt pair."""
+    rt = av.shape[1]
+    i = pl.program_id(1)
+    j = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _fetch_and_permute():
+        dma = pltpu.make_async_copy(
+            x_hbm.at[:, pl.ds(j * rt, rt), :], av, sem)
+        dma.start()
+        dma.wait()
+        av[...] = _bfly_permute_block(av[...], p_ref[...])
+
+    off = pl.multiple_of(i * CHUNK, CHUNK)
+    y_ref[...] = av[:, :, pl.ds(off, CHUNK)]
+    o_ref[...] = jnp.swapaxes(y_ref[...], 1, 2)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def transposed_local_permute_bfly(x: jnp.ndarray, words: jnp.ndarray,
+                                  interpret: bool = False) -> jnp.ndarray:
+    """x: [d, R, C]; packed butterfly words [R, C] (ops/bfly.py) →
+    out [d, C, R] with out[:, c, r] = x[:, r, full_perm[r, c]]."""
+    d, r, c = x.shape
+    assert words.shape == (r, c), (words.shape, x.shape)
+    assert r % TLP_RT == 0 and c % HIER_W == 0, (r, c)
+    return pl.pallas_call(
+        _tlp_bfly_kernel,
+        grid=(r // TLP_RT, c // CHUNK),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec((TLP_RT, c), lambda j, i: (j, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((d, CHUNK, TLP_RT), lambda j, i: (0, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((d, c, r), x.dtype),
+        scratch_shapes=[pltpu.VMEM((d, TLP_RT, c), x.dtype),
+                        pltpu.VMEM((d, TLP_RT, CHUNK), x.dtype),
+                        pltpu.SemaphoreType.DMA],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_TLP_BUDGET + (16 << 20)),
+        interpret=interpret,
+    )(x, words)
+
+
 # ---------------------------------------------------------------------------
 # Butterfly (Beneš) row-local permute: replaces the in-block one-hot MXU
 # matmuls of the hier kernel with 13 VPU stages of roll+select per level.
@@ -544,14 +593,63 @@ def unpack_hier_perm(packed: jnp.ndarray, w: int = HIER_W) -> jnp.ndarray:
     return j * w + jnp.take_along_axis(p0, j * w + p2, axis=1)
 
 
+def unpack_bfly_perm(words: jnp.ndarray, w: int = HIER_W) -> jnp.ndarray:
+    """Recover the full per-row permutation [R, C] from packed butterfly
+    words (trace-safe jnp): feed lane indices through the network —
+    out[j] = in[perm[j]], so routing the identity yields perm itself."""
+    r, c = words.shape
+    lane = jnp.arange(c, dtype=jnp.int32)
+    x = jnp.broadcast_to(lane[None, :], (r, c))
+
+    def apply(x, bits):
+        for t, m in enumerate(BFLY_SHIFTS):
+            hi = (lane & m) != 0
+            sw = ((bits >> t) & 1) != 0
+            partner = jnp.where(hi[None, :], jnp.roll(x, m, 1),
+                                jnp.roll(x, -m, 1))
+            x = jnp.where(sw, partner, x)
+        return x
+
+    a = apply(x, words & 0x1FFF)
+    b = c // w
+    if b > 1:
+        delta = (words >> BFLY_STAGES) & 15
+        acc = a
+        for dd in range(1, b):
+            acc = jnp.where(delta == dd, jnp.roll(a, -dd * w, 1), acc)
+    else:
+        acc = a
+    return apply(acc, words >> (BFLY_STAGES + 4))
+
+
+def unpack_stage_perm(st: "StageTable") -> jnp.ndarray:
+    """Full per-row permutation of any StageTable packing (XLA twins)."""
+    if st.kind == "hier":
+        return unpack_hier_perm(st.tab)
+    if st.kind == "bfly":
+        return unpack_bfly_perm(st.tab)
+    return st.tab
+
+
 @struct.dataclass
 class StageTable:
-    """One row-local stage table: either a raw per-row permutation
-    (hier=False, flat one-hot kernel) or a packed hierarchical word
-    (hier=True). ``hier`` is trace-static (not a pytree leaf) so kernel
-    dispatch stays a Python branch under jit."""
+    """One row-local stage table, in one of three packings:
+
+    * kind="flat" — raw per-row permutation, one-hot MXU kernel
+    * kind="hier" — packed hierarchical Clos word (p0|s|p2), 2x128-deep
+      one-hot MXU kernel
+    * kind="bfly" — packed butterfly word (ops/bfly.py), pure-VPU
+      roll+select kernel (preferred: exact in all dtypes, ~5x less
+      compute than the one-hots at d=32)
+
+    ``kind`` is trace-static (not a pytree leaf) so kernel dispatch stays
+    a Python branch under jit."""
     tab: Any                                   # [R, C] int32
-    hier: bool = struct.field(pytree_node=False, default=False)
+    kind: str = struct.field(pytree_node=False, default="flat")
+
+    @property
+    def hier(self) -> bool:
+        return self.kind == "hier"
 
 
 class PermutePlan(NamedTuple):

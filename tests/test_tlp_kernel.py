@@ -96,3 +96,20 @@ def test_tlp_hier_bf16_exact_wide():
         x, jnp.asarray(packed), interpret=True)).astype(np.float32)
     np.testing.assert_array_equal(
         out, _ref(np.asarray(x, np.float32), p.astype(np.int32)))
+
+
+def test_tlp_bfly_matches_reference():
+    """Fused butterfly TLP == transpose(permute) == take_along_axis."""
+    from ihgnn_tpu.ops.bfly import route_rows_bfly
+    from ihgnn_tpu.ops.pallas.permute import (transposed_local_permute_bfly,
+                                              unpack_bfly_perm)
+    rng = np.random.default_rng(5)
+    d, r, c = 8, 128, 256
+    x = rng.standard_normal((d, r, c)).astype(np.float32)
+    p = np.stack([rng.permutation(c) for _ in range(r)])
+    words = route_rows_bfly(p)
+    np.testing.assert_array_equal(np.asarray(unpack_bfly_perm(
+        jnp.asarray(words))), p)
+    out = np.asarray(transposed_local_permute_bfly(
+        jnp.asarray(x), jnp.asarray(words), interpret=True))
+    np.testing.assert_array_equal(out, _ref(x, p.astype(np.int32)))
