@@ -339,4 +339,32 @@ int ihgnn_route_rows_bfly(const int32_t* perms, int64_t n_rows,
   return status.load();
 }
 
+// Plain per-block Beneš switch routing: each row of `perms` ([n_blocks,
+// 128], a permutation of [0, 128)) → 13-bit switch words (bit t = stage t
+// switch at that lane; see ops/bfly.py route_blocks). Threaded.
+int ihgnn_bfly_route_blocks(const int32_t* perms, int64_t n_blocks,
+                            int32_t* words) {
+  const int32_t w = 128;
+  const int n_stages = 13;
+  std::atomic<int> status{0};
+  int n_threads = static_cast<int>(std::min<int64_t>(
+      n_blocks, std::max(1u, std::thread::hardware_concurrency())));
+  auto worker = [&](int64_t lo, int64_t hi) {
+    for (int64_t b = lo; b < hi; ++b) {
+      int32_t* dst = words + b * w;
+      std::fill(dst, dst + w, 0);
+      bfly_route(perms + b * w, w, 0, 0, n_stages, dst);
+    }
+  };
+  std::vector<std::thread> threads;
+  int64_t per = (n_blocks + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; ++t) {
+    int64_t lo = t * per, hi = std::min<int64_t>(n_blocks, lo + per);
+    if (lo >= hi) break;
+    threads.emplace_back(worker, lo, hi);
+  }
+  for (auto& th : threads) th.join();
+  return status.load();
+}
+
 }  // extern "C"

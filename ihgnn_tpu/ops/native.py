@@ -72,6 +72,8 @@ def load() -> Optional[ctypes.CDLL]:
                                               ctypes.c_int32, ctypes.c_int32,
                                               i32p]
         lib.ihgnn_route_rows_bfly.restype = ctypes.c_int
+        lib.ihgnn_bfly_route_blocks.argtypes = [i32p, ctypes.c_int64, i32p]
+        lib.ihgnn_bfly_route_blocks.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -139,3 +141,21 @@ def route_rows_bfly(p: np.ndarray, w: int = 128) -> Optional[np.ndarray]:
     if rc != 0:
         raise ValueError(f"ihgnn_route_rows_bfly failed with code {rc}")
     return packed
+
+
+def bfly_route_blocks(perms: np.ndarray) -> Optional[np.ndarray]:
+    """Native single-network Beneš switch routing of 128-lane blocks:
+    perms [N, 128] → 13-bit words [N, 128] (ops/bfly.py route_blocks
+    oracle). Returns None if the native library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    perms = np.ascontiguousarray(perms, np.int32)
+    nb = perms.shape[0]
+    assert perms.shape[1] == 128, perms.shape
+    words = np.empty((nb, 128), np.int32)
+    rc = lib.ihgnn_bfly_route_blocks(_ptr(perms, ctypes.c_int32), nb,
+                                     _ptr(words, ctypes.c_int32))
+    if rc != 0:
+        raise ValueError(f"ihgnn_bfly_route_blocks failed with code {rc}")
+    return words

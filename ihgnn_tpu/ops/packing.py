@@ -110,20 +110,20 @@ def _route(perm: np.ndarray, rows: int, cols: int
 
 
 def _stage_table(raw: np.ndarray) -> StageTable:
-    """Pack one row-local stage table for the device kernels, preferring
-    the butterfly packing (pure-VPU roll+select kernel, ops/bfly.py; rows
-    of B*128 lanes with B <= 16), then the hierarchical one-hot packing
-    (ops/benes.py hier_eligible), then the flat permutation."""
+    """Pack one row-local stage table for the device kernels: route each
+    row through the second-level [B, W] Clos when the row length allows it
+    (ops/benes.py hier_eligible), else keep the flat permutation.
+
+    The butterfly packing (kind="bfly", pure-VPU roll+select) measured
+    SLOWER on-chip for these wide rows — rolls over >128-lane vectors
+    lower to dynamic rotates across vector registers (7.3 ms vs the hier
+    pair's 3.3 ms f32 at 2M x 32), and pltpu.roll cannot rotate 16-bit
+    data at all — so hier stays the default; bfly remains available for
+    single-register (128-lane) uses like ops/pallas/segscan.py."""
     length = raw.shape[1]
-    from ihgnn_tpu.ops import native
-    if length % 128 == 0 and 1 <= length // 128 <= 16:
-        packed = native.route_rows_bfly(raw)
-        if packed is None:
-            from ihgnn_tpu.ops.bfly import route_rows_bfly
-            packed = route_rows_bfly(raw)
-        return StageTable(tab=jnp.asarray(packed), kind="bfly")
     if not hier_eligible(length):
         return StageTable(tab=jnp.asarray(raw, jnp.int32), kind="flat")
+    from ihgnn_tpu.ops import native
     packed = native.route_rows_hier(raw, HIER_W)
     if packed is None:
         from ihgnn_tpu.ops.benes import route_rows_hier

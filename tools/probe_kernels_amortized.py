@@ -129,35 +129,39 @@ def main():
             report(f"tlp_hier_{tag}_ms", amortized(tlp_hier2, xg) / 2, nb)
 
         # butterfly (VPU roll+select) in-row permute — same random
-        # permutations as the flat/hier comparisons above
+        # permutations as the flat/hier comparisons above. f32 only:
+        # pltpu.roll cannot rotate 16-bit data (Mosaic "Rotate with
+        # non-32-bit data" — measured 2026-08-18)
+        run_bfly = dt == jnp.float32
         print("# routing bfly words...", flush=True)
-        import time as _t
-        _t0 = _t.time()
+        if run_bfly:
+            import time as _t
+            _t0 = _t.time()
 
-        def _bfly_words(perms):
-            from ihgnn_tpu.ops import native
-            from ihgnn_tpu.ops.bfly import route_rows_bfly
-            w = getattr(native, "route_rows_bfly", lambda p: None)(perms)
-            if w is None:
-                w = route_rows_bfly(perms)
-            return jnp.asarray(w)
+            def _bfly_words(perms):
+                from ihgnn_tpu.ops import native
+                from ihgnn_tpu.ops.bfly import route_rows_bfly
+                w = getattr(native, "route_rows_bfly", lambda p: None)(perms)
+                if w is None:
+                    w = route_rows_bfly(perms)
+                return jnp.asarray(w)
 
-        cache = globals().setdefault("_bfly_cache", {})
-        if "bw" not in cache:
-            cache["bw"] = _bfly_words(np.asarray(pg))
-            cache["bwT"] = _bfly_words(np.asarray(pgT))
-        bw, bwT = cache["bw"], cache["bwT"]
-        print(f"# bfly routing {_t.time() - _t0:.1f}s", flush=True)
-        report(f"rlp_bfly_{tag}_ms",
-               amortized(lambda x: (row_local_permute_bfly(x, bw),
-                                    x[0, 0, :1]), xg), nb)
+            cache = globals().setdefault("_bfly_cache", {})
+            if "bw" not in cache:
+                cache["bw"] = _bfly_words(np.asarray(pg))
+                cache["bwT"] = _bfly_words(np.asarray(pgT))
+            bw, bwT = cache["bw"], cache["bwT"]
+            print(f"# bfly routing {_t.time() - _t0:.1f}s", flush=True)
+            report(f"rlp_bfly_{tag}_ms",
+                   amortized(lambda x: (row_local_permute_bfly(x, bw),
+                                        x[0, 0, :1]), xg), nb)
 
-        def bfly_bt_pair(x):
-            y = block_transpose(row_local_permute_bfly(x, bw))
-            z = block_transpose(row_local_permute_bfly(y, bwT))
-            return z, x[0, 0, :1]
-        report(f"rlp_bt_pair_bfly_{tag}_ms", amortized(bfly_bt_pair, xg) / 2,
-               2 * nb)
+            def bfly_bt_pair(x):
+                y = block_transpose(row_local_permute_bfly(x, bw))
+                z = block_transpose(row_local_permute_bfly(y, bwT))
+                return z, x[0, 0, :1]
+            report(f"rlp_bt_pair_bfly_{tag}_ms", amortized(bfly_bt_pair, xg) / 2,
+                   2 * nb)
 
         # windowed expand (u role: identity-ish window; q role: wider)
         for role, rp in [("u", kp.u_expand), ("q", kp.q.gather)]:
