@@ -207,6 +207,38 @@ def main():
         _ = float(s)
         return (time.time() - t0) / iters * 1e3
 
+    # --- X0 embedding assembly fwd+bwd (arange-gather tables + word-bag
+    # mean): the backward is XLA scatter-adds into the tables — suspected
+    # step-tail cost
+    from ihgnn_tpu.models.embedding import EmbeddingTables
+    emb = EmbeddingTables(user_count=U, item_count=I, vocab_size=V,
+                          embedding_size=D)
+    eparams = jax.jit(lambda k: emb.init(k, qw, qc,
+                                         method=emb.all_features_t)
+                      )(jax.random.key(2))
+
+    @jax.jit
+    def x0_both(eparams, qw, qc, scale):
+        def loss(eparams):
+            x_t = emb.apply(eparams, qw, qc, method=emb.all_features_t)
+            return jnp.sum(x_t * x_t) * scale
+        l, g = jax.value_and_grad(loss)(eparams)
+        return l + 0 * sum(jnp.sum(x) for x in jax.tree.leaves(g))
+
+    def timed_fn(fn, *args, iters=10):
+        s = fn(*args, jnp.float32(1.0))
+        _ = float(s)
+        s = fn(*args, 1.0 + 0.0 * s)
+        _ = float(s)
+        t0 = time.time()
+        for _ in range(iters):
+            s = fn(*args, 1.0 + 0.0 * s)
+        _ = float(s)
+        return (time.time() - t0) / iters * 1e3
+
+    results["x0_embed_fwdbwd_ms"] = timed_fn(x0_both, eparams, qw, qc)
+    print("x0_embed_fwdbwd", results["x0_embed_fwdbwd_ms"], flush=True)
+
     results["model_all_features_fwd_ms"] = timed_m(model)
     print("model_all_features_fwd", results["model_all_features_fwd_ms"], flush=True)
 
