@@ -170,3 +170,34 @@ def test_query_embedding_is_bag_mean(data):
     expect = vocab[q0_words].mean(0)
     got = np.asarray(feats)[:D, data.query_start]
     np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-5)
+
+
+def test_x0_slice_pad_vjp_matches_gather():
+    """all_features_t's slice/pad custom VJP == arange-gather autodiff."""
+    import jax
+    import jax.numpy as jnp
+    from ihgnn_tpu.models.embedding import EmbeddingTables
+
+    U, Q, I, V_, d = 7, 5, 9, 11, 4
+    rng = np.random.default_rng(0)
+    qw = jnp.asarray(rng.integers(1, V_ + 1, size=(Q, 3)).astype(np.int32))
+    qc = jnp.full(Q, 3, jnp.int32)
+    emb = EmbeddingTables(user_count=U, item_count=I, vocab_size=V_,
+                          embedding_size=d)
+    params = emb.init(jax.random.key(0), qw, qc, method=emb.all_features_t)
+    w = jnp.asarray(rng.standard_normal((d, U + Q + I)).astype(np.float32))
+
+    def loss_new(p):
+        return jnp.sum(emb.apply(p, qw, qc, method=emb.all_features_t) * w)
+
+    def loss_ref(p):
+        x = emb.apply(p, qw, qc, method=emb.all_features)  # arange gathers
+        return jnp.sum(x.T * w)
+
+    ln, gn = jax.value_and_grad(loss_new)(params)
+    lr, gr = jax.value_and_grad(loss_ref)(params)
+    assert float(ln) == pytest.approx(float(lr), rel=1e-5)
+    for k in gn["params"]:
+        np.testing.assert_allclose(np.asarray(gn["params"][k]),
+                                   np.asarray(gr["params"][k]),
+                                   rtol=1e-5, atol=1e-6, err_msg=k)

@@ -146,6 +146,22 @@ def main():
     report("pallas_windowed_expand_E", ms, err < 1e-3, err,
            w=pack.w, entries=int(k_exp))
 
+    # fused expand+transpose (production _role_forward first step)
+    from ihgnn_tpu.ops.pallas.gather import EXP_RT, windowed_gather_t
+    rg = pack.idx_rel.shape[0]
+    cg = pack.idx_rel.shape[1] * 128
+    if rg % EXP_RT == 0:
+        @jax.jit
+        def wgt_fn(x, s):
+            out = windowed_gather_t(x + s * 0, pack.idx_rel, pack.win,
+                                    pack.w, interpret=interp)
+            return out, jnp.sum(out[:, :8, 0])
+
+        ms, out = timed(wgt_fn, src_j, args.iters)
+        ref_t = np.swapaxes(ref_g.reshape(d, rg, cg), 1, 2)
+        err = np.abs(np.asarray(out) - ref_t).max()
+        report("pallas_windowed_expand_t_E", ms, err < 1e-3, err)
+
     # XLA gather baselines: sorted expand + random gather
     ids_j = jax.device_put(jnp.asarray(ids_pad.astype(np.int32)))
     rand_ids = jax.device_put(jnp.asarray(
