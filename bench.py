@@ -82,6 +82,10 @@ def main():
     # queries: 4 words each (padded matrix [Q, 4])
     qw = rng.integers(1, V + 1, size=(Q, 4)).astype(np.int32)
     qc = np.full(Q, 4, np.int32)
+    # routed word-bag backward (ops/bag.py) — GraphData attaches this
+    # automatically; the bench builds its graph directly
+    from ihgnn_tpu.ops.bag import make_bag_pack
+    graph = graph.replace(bag=make_bag_pack(qw, qc, V + 1))
 
     model = RawGnn(cfg=cfg.model, user_count=U, query_count=Q, item_count=I,
                    vocab_size=V)

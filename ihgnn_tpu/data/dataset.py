@@ -103,10 +103,21 @@ class GraphData:
         return len(self.pos_uqif)
 
     @property
+    def bag_pack(self):
+        """Routed word-bag backward pack (ops/bag.BagPack), built once."""
+        if getattr(self, "_bag_pack", None) is None:
+            from ihgnn_tpu.ops.bag import make_bag_pack
+            self._bag_pack = make_bag_pack(
+                self.query_words, self.query_word_counts,
+                vocab_rows=self.vocab_size + 1)
+        return self._bag_pack
+
+    @property
     def hypergraph(self) -> HyperGraph:
         if self._hypergraph is None:
             self._hypergraph = build_hypergraph(
-                self.pos_uqif, self.node_count, self.user_count, self.query_count)
+                self.pos_uqif, self.node_count, self.user_count,
+                self.query_count).replace(bag=self.bag_pack)
         return self._hypergraph
 
     @property
@@ -114,7 +125,8 @@ class GraphData:
         if self._graph2d is None:
             self._graph2d = build_graph2d(
                 self.pos_uqif, self.node_count, self.user_count, self.query_count,
-                completeness=self.graph_completeness)
+                completeness=self.graph_completeness
+            ).replace(bag=self.bag_pack)
         return self._graph2d
 
     @property

@@ -53,6 +53,9 @@ class HyperGraph:
     # packs stacked for shard_map dispatch on a device mesh. Attached by
     # parallel/sharding.pad_hypergraph_for_mesh.
     skp: object = None
+    # Routed word-bag backward pack (ops/bag.BagPack); None → plain
+    # autodiff of the vocab gather (XLA scatter backward).
+    bag: object = None
     node_count: int = struct.field(pytree_node=False, default=0)
     edge_count: int = struct.field(pytree_node=False, default=0)
 
@@ -75,6 +78,8 @@ class Graph2D:
     pk_val: object = None       # [nnz_pad] f32 — value per entry, 0-padded
     pk_ids2d: object = None     # [nnz_pad/128, 128] int32 — sorted row ids
     pk_tile_ptr: object = None  # [T+1] int32
+    # Routed word-bag backward pack (ops/bag.BagPack); see HyperGraph.
+    bag: object = None
     node_count: int = struct.field(pytree_node=False, default=0)
     nnz: int = struct.field(pytree_node=False, default=0)
 

@@ -144,15 +144,29 @@ class EmbeddingTables(nn.Module):
         ], axis=0)
 
     def all_features_t(self, query_words: jnp.ndarray,
-                       query_word_counts: jnp.ndarray) -> jnp.ndarray:
+                       query_word_counts: jnp.ndarray,
+                       bag=None) -> jnp.ndarray:
         """Feature-major X0ᵀ: [d, N]. The per-part transposes fuse into the
         concat write; the result has the node axis on the 128-lane minor
         dimension (no 4x lane padding for d=32). User/item parts ride the
-        slice/pad custom VJP — their backward is a pad, not a row scatter."""
+        slice/pad custom VJP — their backward is a pad, not a row scatter.
+        ``bag`` (ops/bag.BagPack, carried on the graph): route the word-bag
+        backward through Clos + Pallas segment-sum instead of XLA's serial
+        scatter; only the plain mean transform qualifies."""
+        if bag is not None and self.query_transform == V.MEAN:
+            from ihgnn_tpu.ops.bag import bag_mean_t
+            inv_counts = 1.0 / jnp.maximum(
+                query_word_counts, 1).astype(jnp.float32)
+            query_part = bag_mean_t(self.vocab_table, query_words,
+                                    inv_counts, bag,
+                                    self.vocab_table.shape[0])
+        else:
+            query_part = self.embed_query(query_words, query_word_counts,
+                                          None).T
         return jnp.concatenate([
             _rows_1n_t(self.user_table, self.user_count,
                        self.user_table.shape[0]),
-            self.embed_query(query_words, query_word_counts, None).T,
+            query_part,
             _rows_1n_t(self.item_table, self.item_count,
                        self.item_table.shape[0]),
         ], axis=1)

@@ -87,7 +87,9 @@ class RawGnn(nn.Module):
 
         Feature-major keeps the node axis on the 128-lane minor dimension;
         [N, 32] layouts are lane-padded 4x on TPU."""
-        x_t = self.embeddings.all_features_t(query_words, query_word_counts)
+        x_t = self.embeddings.all_features_t(
+            query_words, query_word_counts,
+            bag=getattr(graph, "bag", None))
         outs = [x_t]
         for gnn in self.gnns:
             if self.cfg.remat:

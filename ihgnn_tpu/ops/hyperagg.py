@@ -70,9 +70,11 @@ def use_pallas(graph) -> bool:
 
 def strip_kernel_packing(graph):
     """Drop kernel packing so every op dispatches to the XLA fallback —
-    the ``--no_pallas`` / RuntimeConfig.use_pallas=False path."""
+    the ``--no_pallas`` / RuntimeConfig.use_pallas=False path. Also drops
+    the routed word-bag pack (ops/bag.py) so the embedding backward runs
+    plain autodiff."""
     fields = [f for f in ("kp", "skp", "pk_col", "pk_val", "pk_ids2d",
-                          "pk_tile_ptr")
+                          "pk_tile_ptr", "bag")
               if getattr(graph, f, None) is not None]
     if not fields:
         return graph

@@ -112,13 +112,17 @@ def graph_sharding(graph, mesh: Mesh):
         if graph.skp is not None:
             shard0 = NamedSharding(mesh, P(DATA_AXIS))
             skp = jax.tree.map(lambda _: shard0, graph.skp)
+        bag = (None if graph.bag is None
+               else jax.tree.map(lambda _: rep, graph.bag))
         return graph.replace(i3=edge2d, dv=rep, inc_node=edge, inc_edge=edge,
-                             edge_mask=mask, kp=kp, skp=skp)
+                             edge_mask=mask, kp=kp, skp=skp, bag=bag)
     if isinstance(graph, Graph2D):
         pk = {f: (None if getattr(graph, f) is None else rep)
               for f in ("pk_col", "pk_val", "pk_ids2d", "pk_tile_ptr")}
+        bag = (None if graph.bag is None
+               else jax.tree.map(lambda _: rep, graph.bag))
         return graph.replace(row=edge, col=edge, val=edge, dv=rep,
-                             dst_order=edge, **pk)
+                             dst_order=edge, bag=bag, **pk)
     if isinstance(graph, LogHyperGraph):
         return graph.replace(inc_node=edge, inc_edge=edge, edge_nodes=edge,
                              edge_ids=edge, dv=rep, de=rep)

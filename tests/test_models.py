@@ -201,3 +201,38 @@ def test_x0_slice_pad_vjp_matches_gather():
         np.testing.assert_allclose(np.asarray(gn["params"][k]),
                                    np.asarray(gr["params"][k]),
                                    rtol=1e-5, atol=1e-6, err_msg=k)
+
+
+def test_bag_mean_routed_bwd_matches_autodiff():
+    """bag_mean_t (Clos + segment-sum backward) == plain autodiff of the
+    gather/einsum bag mean, both values and vocab-table gradient."""
+    import jax
+    import jax.numpy as jnp
+    from ihgnn_tpu.ops.bag import bag_mean_t, make_bag_pack
+
+    rng = np.random.default_rng(3)
+    Q, L, V_, d = 40, 3, 25, 4
+    rows = V_ + 1 + 5                 # shard-padded table
+    qw_np = rng.integers(0, V_ + 1, size=(Q, L)).astype(np.int32)
+    qw_np[:, 0] = np.maximum(qw_np[:, 0], 1)       # at least one word
+    qc_np = (qw_np > 0).sum(axis=1).astype(np.int32)
+    pack = make_bag_pack(qw_np, qc_np, vocab_rows=V_ + 1)
+    table = jnp.asarray(rng.standard_normal((rows, d)).astype(np.float32))
+    qw = jnp.asarray(qw_np)
+    inv_c = 1.0 / jnp.maximum(jnp.asarray(qc_np), 1).astype(jnp.float32)
+    w = jnp.asarray(rng.standard_normal((d, Q)).astype(np.float32))
+
+    def loss_routed(table):
+        return jnp.sum(bag_mean_t(table, qw, inv_c, pack, rows) * w)
+
+    def loss_ref(table):
+        gathered = table[qw]
+        mask = (qw > 0).astype(jnp.float32)
+        summed = jnp.einsum("qld,ql->qd", gathered, mask)
+        return jnp.sum((summed * inv_c[:, None]).T * w)
+
+    lr, gr = jax.value_and_grad(loss_routed)(table)
+    lx, gx = jax.value_and_grad(loss_ref)(table)
+    assert float(lr) == pytest.approx(float(lx), rel=1e-5)
+    np.testing.assert_allclose(np.asarray(gr), np.asarray(gx),
+                               rtol=1e-4, atol=1e-5)
