@@ -81,18 +81,23 @@ class _DenseParams(nn.Module):
 class _FusedAggregation(nn.Module):
     """Same params as _Aggregation, applied through the fused Pallas
     interaction kernel (ops/pallas/interact.py) — the hadamard parts are
-    never materialized in HBM."""
+    never materialized in HBM. With ``mesh`` set, the kernel runs
+    per-shard under shard_map (edge axis on 'data')."""
 
     features: int
     in_features: int
     order: int
 
     @nn.compact
-    def __call__(self, u, q, i) -> jnp.ndarray:
-        from ihgnn_tpu.ops.pallas.interact import fused_interaction
+    def __call__(self, u, q, i, mesh=None) -> jnp.ndarray:
+        from ihgnn_tpu.ops.pallas.interact import (fused_interaction,
+                                                   fused_interaction_sharded)
 
         kernel, bias = _DenseParams(self.features, self.in_features,
                                     name="dense")()
+        if mesh is not None:
+            return fused_interaction_sharded(u, q, i, kernel, bias[:, None],
+                                             self.order, mesh)
         return fused_interaction(u, q, i, kernel, bias[:, None],
                                  self.order)
 
@@ -103,20 +108,27 @@ class FeatureInteractor(nn.Module):
     output_dim: int
 
     @nn.compact
-    def __call__(self, roles_t, fused_ok: bool = False) -> jnp.ndarray:
+    def __call__(self, roles_t, fused_ok: bool = False,
+                 mesh=None) -> jnp.ndarray:
         """roles_t: 3-tuple (u, q, i) of [d, E] gathered endpoints in edge
         order → [out, E] edge features.
 
         ``fused_ok`` is set by the caller when the edge arrays are whole
-        on one device (the single-chip Pallas path) — a naked pallas_call
-        must not run over GSPMD-sharded inputs, so the sharded path keeps
-        the split-matmul fallback, which XLA partitions along E."""
+        on one device (the single-chip Pallas path). ``mesh``: the edge
+        axis is GSPMD-sharded over the mesh 'data' axis — the fused kernel
+        then runs per-shard under shard_map (a naked pallas_call must not
+        see sharded operands)."""
         from ihgnn_tpu.ops.hyperagg import _kernels_active
         from ihgnn_tpu.ops.pallas.interact import BLK, ORDER_PARTS
 
         d = self.feature_dim
         u, q, i = roles_t[0], roles_t[1], roles_t[2]
         n_parts = ORDER_PARTS[self.max_order]
+
+        if mesh is not None:
+            return _FusedAggregation(
+                self.output_dim, n_parts * d, self.max_order,
+                name="aggregation")(u, q, i, mesh=mesh)
 
         if fused_ok and _kernels_active() and u.shape[1] % BLK == 0:
             # param name nesting matches the fallback ("aggregation"/

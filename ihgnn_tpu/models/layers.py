@@ -167,9 +167,13 @@ class IHGNNLayer(nn.Module):
         x_t = TorchDenseT(self.out_dim, self.in_dim,
                           name="feature_transform")(x_t)
         gather, scatter = make_hyper_ops(graph, bf16_stream=self.bf16_stream)
+        # edge-sharded graphs run the fused interaction per shard under
+        # shard_map (the role streams are sharded on 'data')
+        skp = getattr(graph, "skp", None)
         edge_t = FeatureInteractor(self.interaction_order, self.out_dim,
                                    self.out_dim, name="interactor")(
-                                       gather(x_t), fused_ok=use_pallas(graph))
+                                       gather(x_t), fused_ok=use_pallas(graph),
+                                       mesh=None if skp is None else skp.mesh)
         if graph.edge_mask is not None:
             edge_t = edge_t * graph.edge_mask.reshape(1, -1)
 

@@ -173,6 +173,98 @@ def interact_bwd(u_t, q_t, i_t, w, cot, order: int, interpret: bool = False):
     )(u_t, q_t, i_t, w, cot)
 
 
+# ---------------------------------------------------------------------------
+# Sharded dispatch: the fused kernel runs per-shard under shard_map (a
+# naked pallas_call must not see GSPMD-sharded operands). The custom VJP
+# sits OUTSIDE the shard_map (hyperagg.py's structure); parameter grads
+# psum over the data axis. On non-TPU meshes the body runs the same math
+# as plain jnp (the Mosaic interpreter deadlocks under multi-device
+# shard_map on CPU — see hyperagg.py).
+# ---------------------------------------------------------------------------
+
+
+def _pad_blk(x):
+    e = x.shape[1]
+    e_pad = -(-e // BLK) * BLK
+    return (jnp.pad(x, ((0, 0), (0, e_pad - e))) if e_pad != e else x), e
+
+
+def _body_fwd(u, q, i, w, b2, order, on_tpu):
+    (up, e), (qp, _), (ip, _) = _pad_blk(u), _pad_blk(q), _pad_blk(i)
+    if on_tpu:
+        return interact_fwd(up, qp, ip, w, b2, order)[:, :e]
+    d = u.shape[0]
+    acc = b2.astype(jnp.float32)
+    for j, p in enumerate(_parts(u, q, i, order)):
+        kj = w[j * d:(j + 1) * d, :].astype(p.dtype)
+        acc = acc + jax.lax.dot_general(
+            kj, p, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    return acc.astype(u.dtype)
+
+
+def _mesh_specs(mesh):
+    from jax.sharding import PartitionSpec as P
+
+    from ihgnn_tpu.parallel.mesh import DATA_AXIS
+    plat = mesh.devices.flat[0].platform
+    return P, DATA_AXIS, plat
+
+
+def _fis_impl(u_t, q_t, i_t, w, b2, order, mesh):
+    P, data, plat = _mesh_specs(mesh)
+
+    def body(u, q, i, w, b2):
+        return _body_fwd(u, q, i, w, b2, order, plat == "tpu")
+
+    return jax.shard_map(body, mesh=mesh,
+                         in_specs=(P(None, data),) * 3 + (P(), P()),
+                         out_specs=P(None, data),
+                         check_vma=False)(u_t, q_t, i_t, w, b2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def fused_interaction_sharded(u_t, q_t, i_t, w, b2, order: int, mesh):
+    return _fis_impl(u_t, q_t, i_t, w, b2, order, mesh)
+
+
+def _fis_fwd(u_t, q_t, i_t, w, b2, order, mesh):
+    return _fis_impl(u_t, q_t, i_t, w, b2, order, mesh), (u_t, q_t, i_t, w)
+
+
+def _fis_bwd(order, mesh, res, cot):
+    u_t, q_t, i_t, w = res
+    P, data, plat = _mesh_specs(mesh)
+
+    def body(u, q, i, w, cot):
+        if plat == "tpu":
+            (up, e), (qp, _), (ip, _) = _pad_blk(u), _pad_blk(q), _pad_blk(i)
+            cp, _ = _pad_blk(cot)
+            du, dq, di, dw, db = interact_bwd(up, qp, ip, w, cp, order)
+            du, dq, di = du[:, :e], dq[:, :e], di[:, :e]
+        else:
+            def f(u, q, i, w):
+                out = _body_fwd(u, q, i, w,
+                                jnp.zeros((cot.shape[0], 1), jnp.float32),
+                                order, False)
+                return jnp.sum(out.astype(jnp.float32)
+                               * cot.astype(jnp.float32))
+            du, dq, di, dw = jax.grad(f, argnums=(0, 1, 2, 3))(u, q, i, w)
+            db = jnp.sum(cot.astype(jnp.float32), axis=1, keepdims=True)
+        return (du, dq, di, jax.lax.psum(dw, data), jax.lax.psum(db, data))
+
+    du, dq, di, dw, db = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(None, data), P(None, data), P(None, data), P(),
+                  P(None, data)),
+        out_specs=((P(None, data),) * 3 + (P(), P())),
+        check_vma=False)(u_t, q_t, i_t, w, cot)
+    return du, dq, di, dw.astype(w.dtype), db
+
+
+fused_interaction_sharded.defvjp(_fis_fwd, _fis_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
 def fused_interaction(u_t, q_t, i_t, w, b2, order: int):
     return interact_fwd(u_t, q_t, i_t, w, b2, order)

@@ -100,11 +100,6 @@ def main():
             return z, x[0, 0, :1]
         report(f"rlp_bt_pair_{tag}_ms", amortized(rlpbt_pair, xg) / 2, 2 * nb)
 
-        def tlp2(x):
-            y = transposed_local_permute(x, pg)               # [d, C, R]
-            z = transposed_local_permute(y, pgT)              # [d, R, C]
-            return z, x[0, 0, :1]
-        report(f"tlp_{tag}_ms", amortized(tlp2, xg) / 2, nb)
 
         # hierarchical variants, on the REAL kp stage tables (kp.q):
         # fwd_p2 is the [R, C] orientation, bwd_p1 the [C, R] one
@@ -122,17 +117,12 @@ def main():
             report(f"rlp_bt_pair_hier_{tag}_ms",
                    amortized(hier_pair, xg) / 2, 2 * nb)
 
-            def tlp_hier2(x):
-                y = transposed_local_permute_hier(x, h_rc.tab)
-                z = transposed_local_permute_hier(y, h_cr.tab)
-                return z, x[0, 0, :1]
-            report(f"tlp_hier_{tag}_ms", amortized(tlp_hier2, xg) / 2, nb)
 
         # butterfly (VPU roll+select) in-row permute — same random
         # permutations as the flat/hier comparisons above. f32 only:
         # pltpu.roll cannot rotate 16-bit data (Mosaic "Rotate with
         # non-32-bit data" — measured 2026-08-18)
-        run_bfly = dt == jnp.float32
+        run_bfly = False   # documented dead end (docs/KERNELS.md)
         print("# routing bfly words...", flush=True)
         if run_bfly:
             import time as _t
@@ -207,7 +197,7 @@ def main():
             out = csr_segment_sum_t(v, kp.ids2d, kp.tile_ptr, kp.n,
                                     out_transposed=True)
             s = out[0, :1]
-            return v * (1 + 0 * s[0]), s
+            return v * (1 + 0 * s[0]).astype(v.dtype), s
         nb_ss = (D * k_pad * isz + D * kp.n * 4)
         report(f"segsum_{tag}_ms_k{k_pad}", amortized(ss, vals), nb_ss)
 
