@@ -127,6 +127,12 @@ def main():
 
     # ---- 2. windowed gather (banded expand) of the i-role ----
     i_sorted = np.sort(graph.i3[:, 2])
+    # pad the expansion so its grid rows are 128-aligned (EXP_RT) — the
+    # fused transposed variant requires it (production packs always are)
+    row_quant = 1024 * 128
+    if i_sorted.size % row_quant:
+        pad = row_quant - i_sorted.size % row_quant
+        i_sorted = np.concatenate([i_sorted, np.full(pad, i_sorted[-1])])
     pack, k_exp = expand_pack(i_sorted, c=1024)
     src = np.zeros((d, pack.src_pad), np.float32)
     src[:, :n] = x_np[:, :min(n, pack.src_pad)]
@@ -140,7 +146,7 @@ def main():
 
     ms, out = timed(wg_fn, src_j, args.iters)
     ids_pad = np.concatenate([i_sorted,
-                              np.full(k_exp - e, i_sorted[-1])])
+                              np.full(k_exp - i_sorted.size, i_sorted[-1])])
     ref_g = src[:, ids_pad]
     err = np.abs(np.asarray(out) - ref_g).max()
     report("pallas_windowed_expand_E", ms, err < 1e-3, err,
