@@ -196,9 +196,12 @@ def _role_forward(x_pad, rp, rows, cols):
     ep = rp.gather
     # the fused kernel transposes the EXPAND grid, which matches the stage
     # grid only when the packer's EXPAND_COLS row width equals cols (true
-    # at bench scale; small graphs pack the expansion wider than the grid)
+    # at bench scale; small graphs pack the expansion wider than the grid);
+    # wide windows fall back (128 live windows must fit scoped VMEM)
+    from ihgnn_tpu.ops.pallas.gather import exp_t_vmem_ok
     if (ep.idx.shape[0] == rows and ep.idx.shape[1] * 128 == cols
-            and rows % EXP_RT == 0):
+            and rows % EXP_RT == 0
+            and exp_t_vmem_ok(d, ep.w, x_pad.dtype)):
         t0 = _expand_t(x_pad, ep, rows, cols)
     else:
         t0 = _bt(_expand(x_pad, ep).reshape(d, rows, cols))

@@ -188,6 +188,15 @@ def windowed_gather(x_t: jnp.ndarray, idx_rel: jnp.ndarray, win: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 EXP_RT = 128
+_EXP_T_VMEM = 96 << 20
+
+
+def exp_t_vmem_ok(d: int, w: int, dtype) -> bool:
+    """Whether the fused transposed expand's [EXP_RT, d, w] window scratch
+    (all 128 row windows live at once) fits scoped VMEM — wide windows on
+    sparse graphs can blow it (w_cap is 16384 → 128 MB at bf16 d=32)."""
+    isz = jnp.dtype(dtype).itemsize
+    return EXP_RT * d * w * isz + (8 << 20) <= _EXP_T_VMEM
 
 
 def _gather_t_kernel(win_ref, idx_ref, x_hbm, o_ref, xwin, y_ref, sems,
@@ -272,10 +281,13 @@ def windowed_gather_t(x_t: jnp.ndarray, idx_rel: jnp.ndarray,
             pltpu.SemaphoreType.DMA((EXP_RT,)),
         ],
     )
+    assert exp_t_vmem_ok(d, w, x_t.dtype), (d, w, x_t.dtype)
     return pl.pallas_call(
         functools.partial(_gather_t_kernel, w=w),
         out_shape=jax.ShapeDtypeStruct((d, c, r), x_t.dtype),
         grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_EXP_T_VMEM + (16 << 20)),
         interpret=interpret,
     )(win, idx_rel.reshape(r, c), x_t)
 

@@ -80,15 +80,31 @@ def _local_permute_kernel(x_ref, p_ref, o_ref):
             o_ref[:, r, j * CHUNK:(j + 1) * CHUNK] = out.astype(o_ref.dtype)
 
 
+def _rlp_rows(d: int, r: int, c: int, dtype) -> int:
+    """Block row count: respect the dtype's sublane tile (f32 (8,128),
+    bf16 (16,128) — CLAUDE.md) and shrink for very long rows so the
+    double-buffered in+out blocks stay well inside scoped VMEM (stress
+    grids reach C ~10k: a 16-row bf16 block is 10 MB)."""
+    rows = min(16 if dtype == jnp.bfloat16 else ROWS, r)
+    isz = jnp.dtype(dtype).itemsize
+    min_rows = 16 if dtype == jnp.bfloat16 else 8
+    while rows > min_rows and d * rows * c * isz > (8 << 20):
+        rows //= 2
+    return rows
+
+
+# stage blocks scale with the grid's C; the Mosaic default scoped-VMEM
+# limit (16 MB) rejects stress-scale rows, so every stage kernel raises it
+_RLP_VMEM = pltpu.CompilerParams(vmem_limit_bytes=100 << 20)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def row_local_permute(x: jnp.ndarray, p: jnp.ndarray,
                       interpret: bool = False) -> jnp.ndarray:
     """x: [d, R, C]; p: [R, C] int32 → out[:, r, c] = x[:, r, p[r, c]]."""
     d, r, c = x.shape
     assert p.shape == (r, c), (p.shape, x.shape)
-    # block row count must respect the sublane tile of the dtype
-    # (f32: (8, 128); bf16: (16, 128) — CLAUDE.md layout rules)
-    rows = min(16 if x.dtype == jnp.bfloat16 else ROWS, r)
+    rows = _rlp_rows(d, r, c, x.dtype)
     assert r % rows == 0 and c % CHUNK == 0, (r, c)
     return pl.pallas_call(
         _local_permute_kernel,
@@ -102,6 +118,7 @@ def row_local_permute(x: jnp.ndarray, p: jnp.ndarray,
         out_specs=pl.BlockSpec((d, rows, c), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((d, r, c), x.dtype),
+        compiler_params=_RLP_VMEM,
         interpret=interpret,
     )(x, p)
 
@@ -318,7 +335,7 @@ def row_local_permute_hier(x: jnp.ndarray, packed: jnp.ndarray,
     out[:, r, c] = x[:, r, full_perm[r, c]]."""
     d, r, c = x.shape
     assert packed.shape == (r, c), (packed.shape, x.shape)
-    rows = min(16 if x.dtype == jnp.bfloat16 else ROWS, r)
+    rows = _rlp_rows(d, r, c, x.dtype)
     assert r % rows == 0 and c % HIER_W == 0, (r, c)
     return pl.pallas_call(
         _hier_kernel,
@@ -332,6 +349,7 @@ def row_local_permute_hier(x: jnp.ndarray, packed: jnp.ndarray,
         out_specs=pl.BlockSpec((d, rows, c), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((d, r, c), x.dtype),
+        compiler_params=_RLP_VMEM,
         interpret=interpret,
     )(x, packed)
 
