@@ -107,3 +107,19 @@ def test_row_local_permute_hier_kernel(dtype):
     else:
         out = row_local_permute_hier(jnp.asarray(x), packed, interpret=True)
         np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_rlp_long_rows_f32_shrinks_blocks():
+    """Stress-shape guard: long rows shrink the f32 block row count and the
+    kernel still matches take_along_axis (interpret mode)."""
+    import jax.numpy as jnp
+    from ihgnn_tpu.ops.pallas.permute import _rlp_rows, row_local_permute
+    d, r, c = 4, 16, 4096
+    assert _rlp_rows(32, 2048, 9856, jnp.float32) == 8
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal((d, r, c)).astype(np.float32)
+    p = np.stack([rng.permutation(c) for _ in range(r)]).astype(np.int32)
+    out = np.asarray(row_local_permute(jnp.asarray(x), jnp.asarray(p),
+                                       interpret=True))
+    np.testing.assert_allclose(out, np.take_along_axis(x, p[None], axis=2),
+                               rtol=1e-4, atol=1e-4)
