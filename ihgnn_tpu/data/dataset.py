@@ -104,12 +104,17 @@ class GraphData:
 
     @property
     def bag_pack(self):
-        """Routed word-bag backward pack (ops/bag.BagPack), built once."""
-        if getattr(self, "_bag_pack", None) is None:
+        """Routed word-bag pack (ops/bag.BagPack), built once; None when
+        the word incidence is too sparse for banded windows (pathological
+        vocab distributions fall back to plain autodiff)."""
+        if not hasattr(self, "_bag_pack"):
             from ihgnn_tpu.ops.bag import make_bag_pack
-            self._bag_pack = make_bag_pack(
-                self.query_words, self.query_word_counts,
-                vocab_rows=self.vocab_size + 1)
+            try:
+                self._bag_pack = make_bag_pack(
+                    self.query_words, self.query_word_counts,
+                    vocab_rows=self.vocab_size + 1)
+            except ValueError:
+                self._bag_pack = None
         return self._bag_pack
 
     @property

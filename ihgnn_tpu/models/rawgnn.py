@@ -87,9 +87,14 @@ class RawGnn(nn.Module):
 
         Feature-major keeps the node axis on the 128-lane minor dimension;
         [N, 32] layouts are lane-padded 4x on TPU."""
+        # the routed bag op is a naked pallas_call — only safe when the
+        # graph (and thus the program) is not GSPMD-sharded; sharded runs
+        # keep plain autodiff for the word-bag until a shard_map wrapper
+        # exists (the tables are replicated over 'data' anyway)
+        bag = (None if getattr(graph, "skp", None) is not None
+               else getattr(graph, "bag", None))
         x_t = self.embeddings.all_features_t(
-            query_words, query_word_counts,
-            bag=getattr(graph, "bag", None))
+            query_words, query_word_counts, bag=bag)
         outs = [x_t]
         for gnn in self.gnns:
             if self.cfg.remat:

@@ -1,17 +1,23 @@
-"""Word-bag mean embedding with a routed backward.
+"""Word-bag mean embedding on the routed Pallas pipeline.
 
 The query embedding is a masked mean over each query's word vectors
 (``nn.EmbeddingBag(mode='mean')``, reference EmbeddingLayers.py:100-104).
-Autodiff of the [Q, L] table gather lowers its backward to an XLA row
-scatter into the vocab table — serial on TPU (~50 ns/row; Q*L = 400k
-entries at bench scale). This op keeps the forward as-is but routes the
-backward through static machinery:
+Autodiff of the [Q, L] vocab gather is serial on TPU in BOTH directions:
+the forward lowers to an XLA row gather (~15 ns/row; Q*L = 400k entries
+at bench scale) and the backward to an XLA row scatter (~50 ns/row).
 
-  cot [d, Q] → broadcast to query-major entries [d, Q*L] (* mask/count)
-             → Clos-permute to word-sorted order (2 fused rlp+bt stages;
-               the final stage is absorbed into the segment-sum ids,
-               exactly like ops/packing.py's scatter regions)
-             → Pallas CSR segment-sum → vocab-table gradient.
+Structurally the bag IS a hypergraph role: "entries" (q, l) in
+query-major order gather from sorted word ids — exactly the role-forward
+(windowed expand + Clos stages), and the gradient scatter is exactly the
+role backward (permute-to-t1 + CSR segment-sum with the final stage
+absorbed into the ids). This module packs the word incidence through
+ops/packing._role_pack and runs both directions on the same kernels as
+the hyperedge aggregation:
+
+  fwd: vocab_t --expand∘s0--> --T·p1·T·p2--> word values in (q, l) order
+       --mask/count reduce--> [d, Q]
+  bwd: cot [d, Q] --broadcast*weight--> (q, l) entries --T·p0, T·p1-->
+       t1 order --CSR segment-sum (ids in t1 order)--> vocab grad
 
 Everything data-dependent is host-packed once per dataset (``BagPack``,
 attached to the graph structs by data/dataset.py) and enters the
@@ -29,19 +35,18 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from ihgnn_tpu.ops.hyperagg import _f0_tree, _kernels_active, _rlp_bt
-from ihgnn_tpu.ops.pallas.permute import StageTable, pick_grid
+from ihgnn_tpu.ops.hyperagg import (_f0_tree, _kernels_active, _permute_to_t1,
+                                    _role_forward)
 from ihgnn_tpu.ops.pallas.segsum import csr_segment_sum_t, pack_csr_tiles
 
 
 @struct.dataclass
 class BagPack:
-    """Routed operands for the bag-mean backward (host-packed once)."""
-    weight: Any          # [K_pad] f32 — mask/count per query-major entry
-    p0: StageTable       # [R, C]
-    p1: StageTable       # [C, R]
-    p2_ids2d: Any        # [K_pad/128, 128] int32 — word-sorted vocab rows,
-    #                      stored in pre-p2 ("t1") order (stage-2 fusion)
+    """Routed operands for the bag mean (host-packed once per dataset)."""
+    rp: Any              # ops/packing.RolePack over the word incidence
+    weight: Any          # [K_pad] f32 — mask/count per (q, l) entry
+    ids2d: Any           # [K_pad/128, 128] int32 — sorted word table rows
+    #                      in pre-p2 ("t1") order, sentinels on the tail
     tile_ptr: Any        # [T+1] int32
     bag_l: int = struct.field(pytree_node=False, default=0)
     k: int = struct.field(pytree_node=False, default=0)        # true Q*L
@@ -49,12 +54,20 @@ class BagPack:
     cols: int = struct.field(pytree_node=False, default=0)
     vocab_rows: int = struct.field(pytree_node=False, default=0)
 
+    @property
+    def k_pad(self) -> int:
+        return self.rows * self.cols
+
 
 def make_bag_pack(query_words: np.ndarray, query_word_counts: np.ndarray,
                   vocab_rows: int) -> BagPack:
     """query_words: [Q, L] vocab TABLE rows (word idx + 1; 0 = pad),
-    query_word_counts: [Q] true bag sizes, vocab_rows: table row count."""
-    from ihgnn_tpu.ops.packing import _stage_table
+    query_word_counts: [Q] true bag sizes, vocab_rows: logical table rows
+    (vocab_size + 1)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ihgnn_tpu.ops.packing import _role_pack
+    from ihgnn_tpu.ops.pallas.permute import pick_grid
 
     qw = np.asarray(query_words, np.int64)
     q, bag_l = qw.shape
@@ -65,46 +78,36 @@ def make_bag_pack(query_words: np.ndarray, query_word_counts: np.ndarray,
               / np.repeat(counts, bag_l)).astype(np.float32)
 
     rows, cols = pick_grid(k, 1024)
-    k_pad = rows * cols
-    # out[j] = in[perm[j]]: word-sorted entry j takes query-major entry
-    # perm[j]; identity tail past k (padded inputs are zeros)
-    perm = np.concatenate([np.argsort(words, kind="stable"),
-                           np.arange(k, k_pad, dtype=np.int64)])
-    from ihgnn_tpu.ops import native
-    routed = native.benes_route(perm, rows, cols)
-    if routed is None:
-        from ihgnn_tpu.ops.benes import benes_route_rect
-        routed = benes_route_rect(perm, rows, cols)
-    p0, p1, p2 = (np.asarray(p, np.int64) for p in routed)
+    order = np.argsort(words, kind="stable")
+    rank = np.empty(k, np.int64)
+    rank[order] = np.arange(k)
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        rp, ids_t1, sorted_words = _role_pack(words, order, rank, rows, cols,
+                                              pool)
+    tile_ptr, _ = pack_csr_tiles(sorted_words.astype(np.int32), vocab_rows)
 
-    ids_sorted = np.concatenate([
-        words[np.argsort(words, kind="stable")],
-        np.full(k_pad - k, 2**31 - 1, np.int64)]).reshape(rows, cols)
-    # stage-2 fusion: store ids at t1 positions — t1[r, p2[r, c]] carries
-    # the value bound for sorted position (r, c) (segsum matches by id,
-    # any within-block order is fine; p2 is row-local = block-local)
-    ids_t1 = np.empty_like(ids_sorted)
-    np.put_along_axis(ids_t1, p2, ids_sorted, axis=1)
-    tile_ptr, _ = pack_csr_tiles(
-        np.sort(words).astype(np.int32), vocab_rows)
-
-    weight_pad = np.zeros(k_pad, np.float32)
+    weight_pad = np.zeros(rows * cols, np.float32)
     weight_pad[:k] = weight
     return BagPack(
+        rp=rp,
         weight=jnp.asarray(weight_pad),
-        p0=_stage_table(p0.astype(np.int32)),
-        p1=_stage_table(p1.astype(np.int32)),
-        p2_ids2d=jnp.asarray(ids_t1.reshape(-1, 128).astype(np.int32)),
+        ids2d=jnp.asarray(np.asarray(ids_t1).reshape(-1, 128)),
         tile_ptr=jnp.asarray(tile_ptr),
         bag_l=bag_l, k=k, rows=rows, cols=cols, vocab_rows=vocab_rows,
     )
 
 
-def _bag_fwd_impl(vocab_table, query_words, inv_counts):
-    gathered = vocab_table[query_words]                    # [Q, L, d]
-    mask = (query_words > 0).astype(gathered.dtype)
-    summed = jnp.einsum("qld,ql->qd", gathered, mask)
-    return (summed * inv_counts[:, None]).T                # [d, Q]
+def _bag_fwd_impl(vocab_table, query_words, inv_counts, pack):
+    d = vocab_table.shape[1]
+    q, bag_l = query_words.shape
+    # routed path; the kernel-aware helpers fall back to jnp twins on CPU
+    src_pad = pack.rp.gather.src_pad
+    x_pad = jnp.pad(vocab_table.T,
+                    ((0, 0), (0, src_pad - vocab_table.shape[0])))
+    k_stream = _role_forward(x_pad, pack.rp, pack.rows, pack.cols)
+    vals = (k_stream[:, :pack.k] * pack.weight[None, :pack.k]
+            ).reshape(d, q, bag_l)
+    return jnp.sum(vals, axis=2)                               # [d, Q]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
@@ -113,30 +116,28 @@ def bag_mean_t(vocab_table, query_words, inv_counts, pack, table_rows):
     ``query_words`` are dataset structure (zero/float0 cotangents);
     ``table_rows`` is the (possibly shard-padded) table row count, static
     so the backward's row pad is shape-static."""
-    return _bag_fwd_impl(vocab_table, query_words, inv_counts)
+    return _bag_fwd_impl(vocab_table, query_words, inv_counts, pack)
 
 
 def _bag_fwd(vocab_table, query_words, inv_counts, pack, table_rows):
-    return (_bag_fwd_impl(vocab_table, query_words, inv_counts),
+    return (_bag_fwd_impl(vocab_table, query_words, inv_counts, pack),
             (query_words, inv_counts, pack))
 
 
 def _bag_bwd(table_rows, res, cot):
     query_words, inv_counts, pack = res
     d, q = cot.shape
-    k, k_pad = pack.k, pack.rows * pack.cols
+    k, k_pad = pack.k, pack.k_pad
     # query-major expanded cotangent, weighted (mask/count)
     e = jnp.broadcast_to(cot[:, :, None], (d, q, pack.bag_l)).reshape(d, k)
     e = jnp.pad(e, ((0, 0), (0, k_pad - k))) * pack.weight[None, :]
-    # Clos to word-sorted (t1) order: T·p0 then T·p1 fused pairs; stage 2
-    # is absorbed into the segment-sum ids
-    y1 = _rlp_bt(e.reshape(d, pack.rows, pack.cols), pack.p0)
-    y2 = _rlp_bt(y1, pack.p1).reshape(d, k_pad)
+    # query-major → t1 word order; stage 2 absorbed into the ids
+    y2 = _permute_to_t1(e, pack.rp, pack.rows, pack.cols)
     if _kernels_active():
-        grad_t = csr_segment_sum_t(y2, pack.p2_ids2d, pack.tile_ptr,
+        grad_t = csr_segment_sum_t(y2, pack.ids2d, pack.tile_ptr,
                                    pack.vocab_rows, out_transposed=True)
     else:
-        ids = pack.p2_ids2d.reshape(-1)
+        ids = pack.ids2d.reshape(-1)
         valid = ids < pack.vocab_rows
         vals = jnp.where(valid[None, :], y2, 0).astype(jnp.float32)
         grad_t = jax.ops.segment_sum(vals.T, jnp.where(valid, ids, 0),
