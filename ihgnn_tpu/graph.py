@@ -78,10 +78,16 @@ class Graph2D:
     pk_val: object = None       # [nnz_pad] f32 — value per entry, 0-padded
     pk_ids2d: object = None     # [nnz_pad/128, 128] int32 — sorted row ids
     pk_tile_ptr: object = None  # [T+1] int32
+    # Routed col-gather pack (ops/packing.RolePack, fwd stages only): the
+    # SpMM expansion x[:, col] runs windowed-expand + Clos instead of an
+    # XLA row gather. When set, pk_val/pk_ids2d are sized rows*cols.
+    pk_role: object = None
     # Routed word-bag backward pack (ops/bag.BagPack); see HyperGraph.
     bag: object = None
     node_count: int = struct.field(pytree_node=False, default=0)
     nnz: int = struct.field(pytree_node=False, default=0)
+    pk_rows: int = struct.field(pytree_node=False, default=0)
+    pk_cols: int = struct.field(pytree_node=False, default=0)
 
 
 @struct.dataclass
@@ -208,10 +214,39 @@ def build_graph2d(uqif: np.ndarray, node_count: int, user_count: int,
     # Pallas SpMM packing over the row-sorted entries
     from ihgnn_tpu.ops.pallas.segsum import BLOCK, pack_csr_tiles
     nnz = len(uniq)
-    nnz_pad = -(-max(nnz, 1) // BLOCK) * BLOCK
+    tile_ptr, _ = pack_csr_tiles(crow, node_count)
+
+    # routed col-gather pack: the expansion x[:, col] is a role-forward
+    # over sorted cols (ops/packing._role_pack, fwd stages only — the
+    # adjacency is symmetric so the backward reuses the same op). Falls
+    # back to the XLA col gather when windows exceed W_CAP.
+    pk_role = None
+    rows_g = cols_g = 0
+    try:
+        from concurrent.futures import ThreadPoolExecutor
+
+        from ihgnn_tpu.ops.packing import _role_pack
+        from ihgnn_tpu.ops.pallas.permute import pick_grid
+        if nnz:
+            # c=2048 keeps the [R, C]-orientation rows hier-eligible
+            # (b=16) at 2D-graph scale (nnz ~6x the interaction count) and
+            # halves the [C, R] flat-stage depth vs c=1024 — total stage
+            # mask work ∝ 2C + R is near its minimum here
+            rows_g, cols_g = pick_grid(nnz, 2048)
+            order = np.argsort(ccol, kind="stable").astype(np.int64)
+            rank = np.empty(nnz, np.int64)
+            rank[order] = np.arange(nnz)
+            with ThreadPoolExecutor(max_workers=8) as pool:
+                pk_role, _, _ = _role_pack(ccol.astype(np.int64), order,
+                                           rank, rows_g, cols_g, pool,
+                                           with_bwd=False)
+    except ValueError:
+        pk_role, rows_g, cols_g = None, 0, 0
+
+    nnz_pad = rows_g * cols_g if pk_role is not None else (
+        -(-max(nnz, 1) // BLOCK) * BLOCK)
     pad = nnz_pad - nnz
     ids_pad = np.concatenate([crow, np.full(pad, 2**31 - 1, np.int32)])
-    tile_ptr, _ = pack_csr_tiles(crow, node_count)
 
     return Graph2D(
         row=crow, col=ccol, val=val_sum,
@@ -221,8 +256,10 @@ def build_graph2d(uqif: np.ndarray, node_count: int, user_count: int,
         pk_val=np.concatenate([val_sum, np.zeros(pad, np.float32)]),
         pk_ids2d=ids_pad.reshape(-1, 128),
         pk_tile_ptr=tile_ptr,
+        pk_role=pk_role,
         node_count=int(node_count),
         nnz=int(nnz),
+        pk_rows=int(rows_g), pk_cols=int(cols_g),
     )
 
 

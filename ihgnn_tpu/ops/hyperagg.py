@@ -74,7 +74,7 @@ def strip_kernel_packing(graph):
     the routed word-bag pack (ops/bag.py) so the embedding backward runs
     plain autodiff."""
     fields = [f for f in ("kp", "skp", "pk_col", "pk_val", "pk_ids2d",
-                          "pk_tile_ptr", "bag")
+                          "pk_tile_ptr", "pk_role", "bag")
               if getattr(graph, f, None) is not None]
     if not fields:
         return graph
@@ -546,6 +546,45 @@ def _spmm_bwd(n_out, res, cot):
 _spmm_sym_t.defvjp(_spmm_fwd, _spmm_bwd)
 
 
+def _spmm_role_impl(x_t, rp, val, ids2d, tile_ptr, n, rows, cols):
+    """Routed SpMM: the x[:, col] expansion runs the role-forward pipeline
+    (windowed expand + Clos — no XLA row gather), then weighted CSR
+    segment-sum by row id."""
+    src_pad = rp.gather.src_pad
+    x_pad = jnp.pad(x_t, ((0, 0), (0, src_pad - n)))
+    expanded = _role_forward(x_pad, rp, rows, cols) * val[None, :]
+    if not _kernels_active():
+        ids = ids2d.reshape(-1)
+        valid = ids < n
+        vals = jnp.where(valid[None, :], expanded, 0).astype(jnp.float32)
+        return jax.ops.segment_sum(vals.T, jnp.where(valid, ids, 0),
+                                   num_segments=n).T
+    return csr_segment_sum_t(expanded, ids2d, tile_ptr, n,
+                             out_transposed=True)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _spmm_role_t(x_t, rp, val, ids2d, tile_ptr, n, rows, cols):
+    return _spmm_role_impl(x_t, rp, val, ids2d, tile_ptr, n, rows, cols)
+
+
+def _spmm_role_fwd(x_t, rp, val, ids2d, tile_ptr, n, rows, cols):
+    return (_spmm_role_impl(x_t, rp, val, ids2d, tile_ptr, n, rows, cols),
+            (rp, val, ids2d, tile_ptr))
+
+
+def _spmm_role_bwd(n, rows, cols, res, cot):
+    rp, val, ids2d, tile_ptr = res
+    # A is symmetric in structure and values, so Aᵀ = A (see _spmm_bwd);
+    # val's cotangent is structural zero, like _spmm_sym_t's
+    grad = _spmm_role_impl(cot, rp, val, ids2d, tile_ptr, n, rows, cols)
+    return (grad, _f0_tree(rp), jnp.zeros_like(val), _f0(ids2d),
+            _f0(tile_ptr))
+
+
+_spmm_role_t.defvjp(_spmm_role_fwd, _spmm_role_bwd)
+
+
 def make_spmm_op(graph: Graph2D):
     """Symmetric-adjacency SpMM (feature-major): x_t [d, N] ↦ (A @ xᵀ)ᵀ.
 
@@ -557,6 +596,17 @@ def make_spmm_op(graph: Graph2D):
     if not use_pallas(graph):
         def spmm_t(x_t):
             return xla_ops.spmm(graph.row, graph.col, graph.val, x_t.T, n).T
+        return spmm_t
+
+    if getattr(graph, "pk_role", None) is not None:
+        rp, val = graph.pk_role, graph.pk_val
+        ids2d, tile_ptr = graph.pk_ids2d, graph.pk_tile_ptr
+        rows, cols = graph.pk_rows, graph.pk_cols
+
+        def spmm_t(x_t):
+            return _spmm_role_t(x_t, rp, val, ids2d, tile_ptr, n, rows,
+                                cols)
+
         return spmm_t
 
     col, val = graph.pk_col, graph.pk_val

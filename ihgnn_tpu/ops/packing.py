@@ -138,17 +138,21 @@ def _pad_perm(perm: np.ndarray, e_pad: int) -> np.ndarray:
 
 
 def _role_pack(role_ids: np.ndarray, order: np.ndarray, rank: np.ndarray,
-               rows: int, cols: int, pool: ThreadPoolExecutor):
+               rows: int, cols: int, pool: ThreadPoolExecutor,
+               with_bwd: bool = True):
     """Build (RolePack, segsum ids in t1 order) for one role.
 
     role_ids: [E] endpoint node ids in edge order.
     order:    [E] argsort(role_ids) — role-rank → edge id.
     rank:     [E] inverse of order — edge id → role rank.
+    with_bwd: route the edge→rank direction too; symmetric consumers
+      (Graph2D SpMM) skip it and get bwd fields None / ids None.
     """
     e = role_ids.shape[0]
     e_pad = rows * cols
     fwd_f = pool.submit(_route, _pad_perm(rank, e_pad), rows, cols)
-    bwd_f = pool.submit(_route, _pad_perm(order, e_pad), rows, cols)
+    bwd_f = (pool.submit(_route, _pad_perm(order, e_pad), rows, cols)
+             if with_bwd else None)
 
     sorted_ids = role_ids[order]
     sorted_pad = np.concatenate([
@@ -164,6 +168,16 @@ def _role_pack(role_ids: np.ndarray, order: np.ndarray, rank: np.ndarray,
     idx = np.take_along_axis(sorted_pad.reshape(rows, cols),
                              f0.astype(np.int64), axis=1)
     gp = pack_windows(idx.reshape(-1, EXPAND_COLS), w_cap=W_CAP)
+
+    if not with_bwd:
+        st_futs = [pool.submit(_stage_table, t) for t in (f1, f2)]
+        rp = RolePack(
+            gather=ExpandPack(idx=gp.idx_rel, win=gp.win, w=gp.w,
+                              src_pad=gp.src_pad),
+            fwd_p1=st_futs[0].result(), fwd_p2=st_futs[1].result(),
+            bwd_p0=None, bwd_p1=None,
+        )
+        return rp, None, sorted_ids
 
     b0, b1, b2 = bwd_f.result()
     # absorb bwd stage 2 into the segment-sum: store the region's node ids
@@ -185,12 +199,17 @@ def _role_pack(role_ids: np.ndarray, order: np.ndarray, rank: np.ndarray,
     return rp, ids_t1.reshape(-1).astype(np.int32), sorted_ids
 
 
-def build_hyper_kernel_pack(i3: np.ndarray, node_count: int, cols: int = 1024
+def build_hyper_kernel_pack(i3: np.ndarray, node_count: int, cols: int = 2048
                             ) -> Optional[HyperKernelPack]:
     """Pack a HyperGraph's structure for the Pallas pipeline, or None when
     any banded-gather row exceeds W_CAP (XLA fallback).
 
     i3: [E, 3] endpoint ids, edge order (u-sorted).
+
+    cols=2048 is a REQUEST: pick_grid caps it near sqrt(E), so bench-scale
+    graphs keep the hier/hier 1024-grid while stress-scale (E > ~4M) gets
+    C=2048 — the [R, C] stages stay hier-eligible (B <= 16) and the
+    unavoidable flat [C, R] stage runs at half the depth of a 1024-grid.
     """
     e = i3.shape[0]
     if e == 0:

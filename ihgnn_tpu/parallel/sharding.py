@@ -119,10 +119,12 @@ def graph_sharding(graph, mesh: Mesh):
     if isinstance(graph, Graph2D):
         pk = {f: (None if getattr(graph, f) is None else rep)
               for f in ("pk_col", "pk_val", "pk_ids2d", "pk_tile_ptr")}
+        pk_role = (None if graph.pk_role is None
+                   else jax.tree.map(lambda _: rep, graph.pk_role))
         bag = (None if graph.bag is None
                else jax.tree.map(lambda _: rep, graph.bag))
         return graph.replace(row=edge, col=edge, val=edge, dv=rep,
-                             dst_order=edge, bag=bag, **pk)
+                             dst_order=edge, pk_role=pk_role, bag=bag, **pk)
     if isinstance(graph, LogHyperGraph):
         return graph.replace(inc_node=edge, inc_edge=edge, edge_nodes=edge,
                              edge_ids=edge, dv=rep, de=rep)
@@ -156,7 +158,11 @@ def pad_graph2d_for_mesh(graph: Graph2D, data_parallel: int) -> Graph2D:
     nnz = graph.nnz
     nnz_pad = round_up(max(nnz, 1), data_parallel)
     if nnz_pad == nnz:
-        return graph
+        # still strip single-chip kernel packs: a naked pallas_call must
+        # not execute over GSPMD-sharded operands (the sharded 2D path
+        # runs the XLA ops, which GSPMD partitions along the entry axis)
+        from ihgnn_tpu.ops.hyperagg import strip_kernel_packing
+        return strip_kernel_packing(graph)
     extra = nnz_pad - nnz
     last = graph.node_count - 1
     return Graph2D(
