@@ -199,17 +199,17 @@ def _role_pack(role_ids: np.ndarray, order: np.ndarray, rank: np.ndarray,
     return rp, ids_t1.reshape(-1).astype(np.int32), sorted_ids
 
 
-def build_hyper_kernel_pack(i3: np.ndarray, node_count: int, cols: int = 2048
+def build_hyper_kernel_pack(i3: np.ndarray, node_count: int, cols: int = 1024
                             ) -> Optional[HyperKernelPack]:
     """Pack a HyperGraph's structure for the Pallas pipeline, or None when
     any banded-gather row exceeds W_CAP (XLA fallback).
 
     i3: [E, 3] endpoint ids, edge order (u-sorted).
 
-    cols=2048 is a REQUEST: pick_grid caps it near sqrt(E), so bench-scale
-    graphs keep the hier/hier 1024-grid while stress-scale (E > ~4M) gets
-    C=2048 — the [R, C] stages stay hier-eligible (B <= 16) and the
-    unavoidable flat [C, R] stage runs at half the depth of a 1024-grid.
+    cols is capped at 1024: the stage-2-into-segsum and stage-0-into-
+    expand fusions require Clos rows to nest inside the 1024-entry segsum
+    DMA blocks / expand rows. (The 2D-graph role pack, which has neither
+    fusion, uses c=2048 at scale — graph.py.)
     """
     e = i3.shape[0]
     if e == 0:
