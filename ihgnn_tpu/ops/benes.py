@@ -214,7 +214,13 @@ def apply_benes_rect(x: np.ndarray, p0: np.ndarray, p1: np.ndarray,
 #     word = p0 | (s << 10) | (p2 << 20)        (each field < 1024)
 
 HIER_W = 128
-# largest B the kernel unrolls the exchange for (B(B-1) selects per row)
+# largest B the hier kernel's unrolled exchange pays off for. The
+# fori-structured big-B variant (_hier_big_kernel, correct and tested)
+# measured WORSE than the flat one-hot kernel at stress depth (83 vs
+# 47 ms/pass, B=77 bf16): the select-chain exchange moves O(B^2) VMEM
+# bytes per row (every select reads a full [d, W] operand). Long rows
+# stay on the flat kernel; the real fix is a third routing level with an
+# in-row transpose (square row lengths) — see docs/KERNELS.md.
 HIER_B_CAP = 16
 
 

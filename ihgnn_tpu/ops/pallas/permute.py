@@ -328,6 +328,69 @@ def _hier_kernel(x_ref, p_ref, o_ref):
                 acc, p2[bb * w:(bb + 1) * w])
 
 
+def _hier_big_kernel(x_ref, p_ref, o_ref, a0):
+    """Hier kernel for LONG rows (B = C/W > 16, up to 1024 via the 10-bit
+    packing): the fully-unrolled exchange of ``_hier_kernel`` is O(B^2)
+    statements per row — at stress scale (B = 77) that explodes Mosaic
+    compile time (the flat kernel at this depth took 15 min to compile
+    and 47 ms/pass). Here both phases run as ``fori_loop``s over blocks
+    whose bodies trace ONCE:
+
+      phase A: fori over source blocks — per block, a depth-W one-hot
+               matmul per row into scratch a0 (dynamic 128-aligned lane
+               stores);
+      phase B: fori over output blocks — per row a chain of B-1 lane
+               selects over a0 (static slices inside the body) and the
+               stage-B one-hot, stored at the block's dynamic lane offset.
+
+    Same packed stage words as ``_hier_kernel``."""
+    d, rows, c = x_ref.shape
+    w = HIER_W
+    b = c // w
+    bf16_in = x_ref.dtype == jnp.bfloat16
+    iota = jax.lax.broadcasted_iota(jnp.int32, (w, w), 0)
+
+    def split(v):
+        hi = v.astype(jnp.bfloat16)
+        lo = (v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return jnp.concatenate([hi, lo], axis=0)
+
+    def onehot_dot(vals, p_slice):
+        oh = (iota == p_slice.reshape(1, w)).astype(jnp.bfloat16)
+        both = jnp.dot(vals if bf16_in else split(vals), oh,
+                       preferred_element_type=jnp.float32)
+        out = both if bf16_in else both[:d] + both[d:]
+        return out.astype(x_ref.dtype)
+
+    def phase_a(bb, _):
+        off = pl.multiple_of(bb * w, w)
+        xg = x_ref[:, :, pl.ds(off, w)]
+        pg = p_ref[:, pl.ds(off, w)] & 1023
+        a0[:, :, pl.ds(off, w)] = jnp.stack(
+            [onehot_dot(xg[:, rr, :], pg[rr, :]) for rr in range(rows)],
+            axis=1)
+        return 0
+
+    jax.lax.fori_loop(0, b, phase_a, 0, unroll=False)
+
+    def phase_b(bb, _):
+        off = pl.multiple_of(bb * w, w)
+        word = p_ref[:, pl.ds(off, w)]
+        sg = (word >> 10) & 1023
+        p2g = word >> 20
+        outs = []
+        for rr in range(rows):
+            sb = sg[rr, :].reshape(1, w)
+            acc = a0[:, rr, 0:w]
+            for j in range(1, b):
+                acc = jnp.where(sb == j, a0[:, rr, j * w:(j + 1) * w], acc)
+            outs.append(onehot_dot(acc, p2g[rr, :]))
+        o_ref[:, :, pl.ds(off, w)] = jnp.stack(outs, axis=1)
+        return 0
+
+    jax.lax.fori_loop(0, b, phase_b, 0, unroll=False)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def row_local_permute_hier(x: jnp.ndarray, packed: jnp.ndarray,
                            interpret: bool = False) -> jnp.ndarray:
@@ -337,8 +400,9 @@ def row_local_permute_hier(x: jnp.ndarray, packed: jnp.ndarray,
     assert packed.shape == (r, c), (packed.shape, x.shape)
     rows = _rlp_rows(d, r, c, x.dtype)
     assert r % rows == 0 and c % HIER_W == 0, (r, c)
+    big = c // HIER_W > 16
     return pl.pallas_call(
-        _hier_kernel,
+        _hier_big_kernel if big else _hier_kernel,
         grid=(r // rows,),
         in_specs=[
             pl.BlockSpec((d, rows, c), lambda i: (0, i, 0),
@@ -349,6 +413,7 @@ def row_local_permute_hier(x: jnp.ndarray, packed: jnp.ndarray,
         out_specs=pl.BlockSpec((d, rows, c), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((d, r, c), x.dtype),
+        scratch_shapes=([pltpu.VMEM((d, rows, c), x.dtype)] if big else []),
         compiler_params=_RLP_VMEM,
         interpret=interpret,
     )(x, packed)
