@@ -117,13 +117,19 @@ def run(cfg: Config) -> MetricsCollection:
         graph = strip_kernel_packing(graph)
         log_print("pallas kernels disabled (--no_pallas): XLA fallback ops")
     if mesh is not None:
+        bag_inputs = (data.query_words, data.query_word_counts,
+                      data.vocab_size + 1)
         if cfg.model.uses_hypergraph and not cfg.model.use_log_hypergraph:
             # pack_kernels None = auto (TPU only); False under --no_pallas
             graph = pad_hypergraph_for_mesh(
                 graph, cfg.mesh.data, mesh=mesh,
-                pack_kernels=None if cfg.runtime.use_pallas else False)
+                pack_kernels=None if cfg.runtime.use_pallas else False,
+                bag_inputs=bag_inputs)
         elif cfg.model.gnn in (V.GCN, V.GAT):
-            graph = pad_graph2d_for_mesh(graph, cfg.mesh.data)
+            graph = pad_graph2d_for_mesh(
+                graph, cfg.mesh.data, mesh=mesh,
+                pack_kernels=None if cfg.runtime.use_pallas else False,
+                bag_inputs=bag_inputs)
 
     if cfg.model.model == V.RAWGNN:
         model = RawGnn(cfg=cfg.model, user_count=data.user_count,

@@ -87,12 +87,15 @@ class RawGnn(nn.Module):
 
         Feature-major keeps the node axis on the 128-lane minor dimension;
         [N, 32] layouts are lane-padded 4x on TPU."""
-        # the routed bag op is a naked pallas_call — only safe when the
-        # graph (and thus the program) is not GSPMD-sharded; sharded runs
-        # keep plain autodiff for the word-bag until a shard_map wrapper
-        # exists (the tables are replicated over 'data' anyway)
-        bag = (None if getattr(graph, "skp", None) is not None
-               else getattr(graph, "bag", None))
+        # the single-chip routed bag op is a naked pallas_call — only safe
+        # when the graph (and thus the program) is not GSPMD-sharded; mesh
+        # runs need the shard_map variant (ops/bag.ShardedBagPack, built by
+        # parallel/sharding.pad_*_for_mesh from the dataset word matrix)
+        from ihgnn_tpu.ops.bag import ShardedBagPack
+        bag = getattr(graph, "bag", None)
+        if (getattr(graph, "skp", None) is not None
+                and not isinstance(bag, ShardedBagPack)):
+            bag = None
         x_t = self.embeddings.all_features_t(
             query_words, query_word_counts, bag=bag)
         outs = [x_t]

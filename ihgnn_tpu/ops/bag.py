@@ -97,9 +97,10 @@ def make_bag_pack(query_words: np.ndarray, query_word_counts: np.ndarray,
     )
 
 
-def _bag_fwd_impl(vocab_table, query_words, inv_counts, pack):
+def _bag_fwd_impl(vocab_table, pack):
     d = vocab_table.shape[1]
-    q, bag_l = query_words.shape
+    bag_l = pack.bag_l
+    q = pack.k // bag_l
     # routed path; the kernel-aware helpers fall back to jnp twins on CPU
     src_pad = pack.rp.gather.src_pad
     x_pad = jnp.pad(vocab_table.T,
@@ -110,22 +111,9 @@ def _bag_fwd_impl(vocab_table, query_words, inv_counts, pack):
     return jnp.sum(vals, axis=2)                               # [d, Q]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def bag_mean_t(vocab_table, query_words, inv_counts, pack, table_rows):
-    """Feature-major bag-mean query embeddings [d, Q]. ``inv_counts`` and
-    ``query_words`` are dataset structure (zero/float0 cotangents);
-    ``table_rows`` is the (possibly shard-padded) table row count, static
-    so the backward's row pad is shape-static."""
-    return _bag_fwd_impl(vocab_table, query_words, inv_counts, pack)
-
-
-def _bag_fwd(vocab_table, query_words, inv_counts, pack, table_rows):
-    return (_bag_fwd_impl(vocab_table, query_words, inv_counts, pack),
-            (query_words, inv_counts, pack))
-
-
-def _bag_bwd(table_rows, res, cot):
-    query_words, inv_counts, pack = res
+def _bag_grad_impl(cot, pack, table_rows):
+    """Vocab-table gradient of the bag mean for one pack: cot [d, q] →
+    [table_rows, d] (f32 accumulation, cast back to cot dtype)."""
     d, q = cot.shape
     k, k_pad = pack.k, pack.k_pad
     # query-major expanded cotangent, weighted (mask/count)
@@ -143,10 +131,153 @@ def _bag_bwd(table_rows, res, cot):
         grad_t = jax.ops.segment_sum(vals.T, jnp.where(valid, ids, 0),
                                      num_segments=pack.vocab_rows).T
     # the table may be row-padded past vocab_rows for even sharding
-    grad = jnp.pad(grad_t.T, ((0, table_rows - pack.vocab_rows),
+    return jnp.pad(grad_t.T, ((0, table_rows - pack.vocab_rows),
                               (0, 0))).astype(cot.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _bag_mean_single(vocab_table, query_words, inv_counts, pack, table_rows):
+    """Feature-major bag-mean query embeddings [d, Q]. ``inv_counts`` and
+    ``query_words`` are dataset structure (zero/float0 cotangents);
+    ``table_rows`` is the (possibly shard-padded) table row count, static
+    so the backward's row pad is shape-static."""
+    return _bag_fwd_impl(vocab_table, pack)
+
+
+def _bag_fwd(vocab_table, query_words, inv_counts, pack, table_rows):
+    return (_bag_fwd_impl(vocab_table, pack),
+            (query_words, inv_counts, pack))
+
+
+def _bag_bwd(table_rows, res, cot):
+    query_words, inv_counts, pack = res
+    grad = _bag_grad_impl(cot, pack, table_rows)
     return (grad, np.zeros(query_words.shape, jax.dtypes.float0),
             jnp.zeros_like(inv_counts), _f0_tree(pack))
 
 
-bag_mean_t.defvjp(_bag_fwd, _bag_bwd)
+_bag_mean_single.defvjp(_bag_fwd, _bag_bwd)
+
+
+# ---------------------------------------------------------------------------
+# sharded bag (shard_map over the mesh data axis, per-query-slice packs)
+# ---------------------------------------------------------------------------
+#
+# Same design as ops/hyperagg's sharded primitives: the custom VJP wraps
+# the shard_map so autodiff never traverses the manual-mesh region. Each
+# data shard owns a contiguous query range (queries pad to a multiple of
+# the shard count with zero-weight dummy bags) and runs the full routed
+# pipeline on its own BagPack; the vocab table enters replicated (GSPMD
+# all-gathers it from the model-axis row sharding at the boundary) and
+# the vocab gradient psums over the data axis.
+
+
+@struct.dataclass
+class ShardedBagPack:
+    """Per-shard BagPacks stacked on a leading shard axis (data-sharded);
+    static fields unified across shards. ``q`` is the true query count
+    (the [d, q_pad] shard_map output is sliced back to it)."""
+    pack: BagPack
+    mesh: Any = struct.field(pytree_node=False, default=None)
+    n_shards: int = struct.field(pytree_node=False, default=1)
+    q: int = struct.field(pytree_node=False, default=0)
+    q_pad: int = struct.field(pytree_node=False, default=0)
+
+
+def make_sharded_bag_pack(query_words: np.ndarray,
+                          query_word_counts: np.ndarray, vocab_rows: int,
+                          n_shards: int, mesh: Any):
+    """Per-shard packs over contiguous query slices, stacked for
+    shard_map dispatch. Returns None when the per-shard grids or stage
+    kinds disagree (cannot happen for equal slice sizes; defensive)."""
+    qw = np.asarray(query_words)
+    counts = np.asarray(query_word_counts)
+    q = qw.shape[0]
+    q_pad = -(-q // n_shards) * n_shards
+    if q_pad != q:
+        qw = np.concatenate(
+            [qw, np.zeros((q_pad - q, qw.shape[1]), qw.dtype)])
+        counts = np.concatenate([counts, np.ones(q_pad - q, counts.dtype)])
+    qs = q_pad // n_shards
+    try:
+        packs = [make_bag_pack(qw[s * qs:(s + 1) * qs],
+                               counts[s * qs:(s + 1) * qs], vocab_rows)
+                 for s in range(n_shards)]
+    except ValueError:       # banded-window cap exceeded: XLA fallback
+        return None
+    first = packs[0]
+    if any((p.rows, p.cols, p.k, p.rp.fwd_p1.kind, p.rp.fwd_p2.kind,
+            p.rp.bwd_p0.kind, p.rp.bwd_p1.kind) !=
+           (first.rows, first.cols, first.k, first.rp.fwd_p1.kind,
+            first.rp.fwd_p2.kind, first.rp.bwd_p0.kind,
+            first.rp.bwd_p1.kind) for p in packs):
+        return None
+
+    from ihgnn_tpu.ops.packing import _with_expand_w
+    w = max(p.rp.gather.w for p in packs)
+    src_pad = max(max(p.rp.gather.src_pad for p in packs),
+                  max(int(np.asarray(p.rp.gather.win).max()) + w
+                      for p in packs))
+    unified = [p.replace(rp=p.rp.replace(
+        gather=_with_expand_w(p.rp.gather, w, src_pad))) for p in packs]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *unified)
+    return ShardedBagPack(pack=stacked, mesh=mesh, n_shards=n_shards,
+                          q=q, q_pad=q_pad)
+
+
+def _sh_bag_specs(sbp):
+    from jax.sharding import PartitionSpec as P
+
+    from ihgnn_tpu.parallel.mesh import DATA_AXIS
+    mesh = sbp.mesh
+    return P, DATA_AXIS, mesh, mesh.devices.flat[0].platform
+
+
+def _sh_bag_fwd_impl(vocab_table, sbp):
+    from ihgnn_tpu.ops.hyperagg import _impl_platform
+    P, data, mesh, plat = _sh_bag_specs(sbp)
+
+    def body(table, pk_st):
+        pk = jax.tree.map(lambda a: a[0], pk_st)
+        return _bag_fwd_impl(table, pk)                    # [d, q_shard]
+
+    with _impl_platform(plat):
+        return jax.shard_map(body, mesh=mesh, in_specs=(P(), P(data)),
+                             out_specs=P(None, data),
+                             check_vma=False)(vocab_table, sbp.pack)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _bag_mean_sharded(vocab_table, sbp, table_rows):
+    return _sh_bag_fwd_impl(vocab_table, sbp)
+
+
+def _sh_bag_fwd(vocab_table, sbp, table_rows):
+    return _sh_bag_fwd_impl(vocab_table, sbp), sbp
+
+
+def _sh_bag_bwd(table_rows, sbp, cot):
+    from ihgnn_tpu.ops.hyperagg import _impl_platform
+    P, data, mesh, plat = _sh_bag_specs(sbp)
+
+    def body(cot_loc, pk_st):
+        pk = jax.tree.map(lambda a: a[0], pk_st)
+        return jax.lax.psum(_bag_grad_impl(cot_loc, pk, table_rows), data)
+
+    with _impl_platform(plat):
+        grad = jax.shard_map(body, mesh=mesh,
+                             in_specs=(P(None, data), P(data)),
+                             out_specs=P(), check_vma=False)(cot, sbp.pack)
+    return grad, _f0_tree(sbp)
+
+
+_bag_mean_sharded.defvjp(_sh_bag_fwd, _sh_bag_bwd)
+
+
+def bag_mean_t(vocab_table, query_words, inv_counts, pack, table_rows):
+    """Feature-major bag-mean query embeddings [d, Q] — dispatches on the
+    pack kind (single-chip BagPack vs mesh ShardedBagPack)."""
+    if isinstance(pack, ShardedBagPack):
+        return _bag_mean_sharded(vocab_table, pack, table_rows)[:, :pack.q]
+    return _bag_mean_single(vocab_table, query_words, inv_counts, pack,
+                            table_rows)

@@ -50,9 +50,11 @@ import numpy as np
 from ihgnn_tpu.graph import Graph2D, HyperGraph
 from ihgnn_tpu.ops import segment as xla_ops
 from ihgnn_tpu.ops.pallas.gather import EXP_RT, windowed_gather, windowed_gather_t
-from ihgnn_tpu.ops.pallas.permute import (block_transpose, row_local_permute,
+from ihgnn_tpu.ops.pallas.permute import (block_transpose, int8_rlp_ok,
+                                          row_local_permute,
                                           row_local_permute_bfly,
                                           row_local_permute_hier,
+                                          row_local_permute_int8,
                                           tlp_hier_ok,
                                           transposed_local_permute_bfly,
                                           unpack_stage_perm)
@@ -166,6 +168,10 @@ def _rlp(x, st):
         return row_local_permute_bfly(x, st.tab)
     if st.kind == "hier":
         return row_local_permute_hier(x, st.tab)
+    if int8_rlp_ok(*x.shape, x.dtype):
+        # long-row flat stage: exact int8 byte-plane one-hot (2x MXU rate,
+        # full M packing — 26 vs 47 ms/pass at the 10M-edge stress shape)
+        return row_local_permute_int8(x, st.tab)
     return row_local_permute(x, st.tab)
 
 

@@ -270,6 +270,106 @@ def transposed_local_permute(x: jnp.ndarray, p: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# Long-row flat permute via int8 byte planes.
+#
+# At stress scale the Clos middle stage has rows of ~10k lanes (B = C/128
+# ~ 77): the hier kernels' cross-block exchange is O(B^2) VMEM traffic
+# (measured 83 ms vs flat's 47.2 at [32, 1024, 9856] bf16) so long rows
+# run the FLAT one-hot — which is MXU-bound. A permutation one-hot selects
+# exactly ONE source per output, so the dot can run on raw value BYTES:
+# split bf16 into two (byte - 128) int8 planes stacked on M, build the
+# one-hot in int8, and recombine the int32 results by shifts. Wins
+# measured at [32, 1024, 9856] (tools/probe_longrow.py):
+#   * int8 doubles the MXU K-stream rate, and M = 2d = 64 packs the
+#     array twice as full: 26.1 ms/pass vs 47.2 bf16 — exact, not approx;
+#   * grid over (row-tile, chunk) with one dot per cell keeps the Mosaic
+#     program tiny: ~80 s compile vs ~15 min for the unrolled bf16 kernel.
+# The byte planes are packed IN-kernel right after the row-tile DMA (VPU
+# shifts, no extra HBM round-trip). f32 streams use four planes (M = 128,
+# same exactness argument). Padding tail columns are real positions of the
+# padded grid (identity-routed), so every output still selects exactly one
+# source.
+# ---------------------------------------------------------------------------
+
+INT8_RT = 16      # rows per tile (int8 scratch keeps (32, 128) tiling ok)
+
+
+def _i8_kernel(x_hbm, p_ref, o_ref, xv, xs, sem):
+    d, rt, c = xv.shape
+    n_planes = xs.shape[0] // d
+    i = pl.program_id(1)
+    j = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _fetch_and_pack():
+        dma = pltpu.make_async_copy(x_hbm.at[:, pl.ds(j * rt, rt), :],
+                                    xv, sem)
+        dma.start()
+        dma.wait()
+        v = xv[...]
+        if n_planes == 2:
+            u = jax.lax.bitcast_convert_type(v, jnp.uint16).astype(jnp.int32)
+        else:
+            u = jax.lax.bitcast_convert_type(v, jnp.uint32).astype(jnp.int32)
+        for pl_i in range(n_planes):
+            byte = (u >> (8 * (n_planes - 1 - pl_i))) & 255
+            xs[pl_i * d:(pl_i + 1) * d] = (byte - 128).astype(jnp.int8)
+
+    for r in range(rt):
+        oh = (jax.lax.broadcasted_iota(jnp.int32, (c, CHUNK), 0)
+              == p_ref[r, :].reshape(1, CHUNK)).astype(jnp.int8)
+        planes = jnp.dot(xs[:, r, :], oh,
+                         preferred_element_type=jnp.int32) + 128
+        acc = planes[:d].astype(jnp.uint32)
+        for pl_i in range(1, n_planes):
+            acc = (acc << 8) | planes[pl_i * d:(pl_i + 1) * d].astype(
+                jnp.uint32)
+        if n_planes == 2:
+            o_ref[:, r, :] = jax.lax.bitcast_convert_type(
+                acc.astype(jnp.uint16), jnp.bfloat16)
+        else:
+            o_ref[:, r, :] = jax.lax.bitcast_convert_type(acc, jnp.float32)
+
+
+def int8_rlp_ok(d: int, r: int, c: int, dtype) -> bool:
+    """Long-row regime where the byte-plane kernel is the measured win;
+    short rows keep the hier/flat kernels (hier wins there, and the
+    crossover is untested below ~2k lanes)."""
+    if dtype not in (jnp.bfloat16, jnp.float32):
+        return False
+    n_planes = 2 if dtype == jnp.bfloat16 else 4
+    tile = (1 + n_planes) * d * INT8_RT * c     # bf16/f32 tile + int8 planes
+    return (r % INT8_RT == 0 and c % CHUNK == 0 and c > 2048
+            and tile + (4 << 20) <= 80 << 20)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def row_local_permute_int8(x: jnp.ndarray, p: jnp.ndarray,
+                           interpret: bool = False) -> jnp.ndarray:
+    """x: [d, R, C] bf16/f32; p: [R, C] int32 → out[:, r, c] =
+    x[:, r, p[r, c]] — exact (pure byte transport through int8 one-hots)."""
+    d, r, c = x.shape
+    assert p.shape == (r, c), (p.shape, x.shape)
+    assert int8_rlp_ok(d, r, c, x.dtype), (x.shape, x.dtype)
+    n_planes = 2 if x.dtype == jnp.bfloat16 else 4
+    return pl.pallas_call(
+        _i8_kernel,
+        grid=(r // INT8_RT, c // CHUNK),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec((INT8_RT, CHUNK), lambda j, i: (j, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((d, INT8_RT, CHUNK), lambda j, i: (0, j, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((d, r, c), x.dtype),
+        scratch_shapes=[pltpu.VMEM((d, INT8_RT, c), x.dtype),
+                        pltpu.VMEM((n_planes * d, INT8_RT, c), jnp.int8),
+                        pltpu.SemaphoreType.DMA],
+        compiler_params=_RLP_VMEM,
+        interpret=interpret,
+    )(x, p)
+
+
+# ---------------------------------------------------------------------------
 # Hierarchical row-local permute (second Clos level, ops/benes.py
 # route_rows_hier): each length-C row is itself a routed [B, W=128] grid, so
 # the per-output one-hot depth drops from C to 2·W (two in-block MXU

@@ -97,6 +97,19 @@ def shard_state(state, mesh: Mesh):
     return put_global_tree(state, state_sharding(state, mesh))
 
 
+def _bag_sharding(bag, mesh: Mesh, rep):
+    """Sharding spec tree for a word-bag pack: per-shard stacked packs
+    (ops/bag.ShardedBagPack) shard their leading axis over 'data';
+    single-chip BagPacks replicate."""
+    if bag is None:
+        return None
+    from ihgnn_tpu.ops.bag import ShardedBagPack
+    if isinstance(bag, ShardedBagPack):
+        shard0 = NamedSharding(mesh, P(DATA_AXIS))
+        return jax.tree.map(lambda _: shard0, bag)
+    return jax.tree.map(lambda _: rep, bag)
+
+
 def graph_sharding(graph, mesh: Mesh):
     """NamedSharding tree for a packed graph: edge-indexed arrays over
     'data', per-node arrays replicated."""
@@ -112,8 +125,7 @@ def graph_sharding(graph, mesh: Mesh):
         if graph.skp is not None:
             shard0 = NamedSharding(mesh, P(DATA_AXIS))
             skp = jax.tree.map(lambda _: shard0, graph.skp)
-        bag = (None if graph.bag is None
-               else jax.tree.map(lambda _: rep, graph.bag))
+        bag = _bag_sharding(graph.bag, mesh, rep)
         return graph.replace(i3=edge2d, dv=rep, inc_node=edge, inc_edge=edge,
                              edge_mask=mask, kp=kp, skp=skp, bag=bag)
     if isinstance(graph, Graph2D):
@@ -121,8 +133,7 @@ def graph_sharding(graph, mesh: Mesh):
               for f in ("pk_col", "pk_val", "pk_ids2d", "pk_tile_ptr")}
         pk_role = (None if graph.pk_role is None
                    else jax.tree.map(lambda _: rep, graph.pk_role))
-        bag = (None if graph.bag is None
-               else jax.tree.map(lambda _: rep, graph.bag))
+        bag = _bag_sharding(graph.bag, mesh, rep)
         return graph.replace(row=edge, col=edge, val=edge, dv=rep,
                              dst_order=edge, pk_role=pk_role, bag=bag, **pk)
     if isinstance(graph, LogHyperGraph):
@@ -152,17 +163,25 @@ def round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def pad_graph2d_for_mesh(graph: Graph2D, data_parallel: int) -> Graph2D:
+def pad_graph2d_for_mesh(graph: Graph2D, data_parallel: int,
+                         mesh: Mesh = None, pack_kernels: bool = None,
+                         bag_inputs=None) -> Graph2D:
     """Pad the COO entry count to a multiple of the data axis with zero-value
-    entries at the last node (keeps row-sorting; contributes nothing)."""
+    entries at the last node (keeps row-sorting; contributes nothing).
+    Single-chip kernel packs are stripped either way — a naked pallas_call
+    must not execute over GSPMD-sharded operands (the sharded 2D path runs
+    the XLA ops, which GSPMD partitions along the entry axis) — and the
+    word-bag pack is rebuilt per shard when ``mesh``/``bag_inputs`` are
+    given (shard_map dispatch survives the mesh)."""
+    if pack_kernels is None:
+        pack_kernels = jax.default_backend() == "tpu"
+    bag = (_sharded_bag(bag_inputs, data_parallel, mesh, pack_kernels)
+           if mesh is not None else None)
     nnz = graph.nnz
     nnz_pad = round_up(max(nnz, 1), data_parallel)
     if nnz_pad == nnz:
-        # still strip single-chip kernel packs: a naked pallas_call must
-        # not execute over GSPMD-sharded operands (the sharded 2D path
-        # runs the XLA ops, which GSPMD partitions along the entry axis)
         from ihgnn_tpu.ops.hyperagg import strip_kernel_packing
-        return strip_kernel_packing(graph)
+        return strip_kernel_packing(graph).replace(bag=bag)
     extra = nnz_pad - nnz
     last = graph.node_count - 1
     return Graph2D(
@@ -174,12 +193,28 @@ def pad_graph2d_for_mesh(graph: Graph2D, data_parallel: int) -> Graph2D:
                                   np.arange(nnz, nnz_pad, dtype=np.int32)]),
         node_count=graph.node_count,
         nnz=int(nnz_pad),
+        bag=bag,
     )
+
+
+def _sharded_bag(bag_inputs, data_parallel: int, mesh: Mesh,
+                 pack_kernels: bool):
+    """Build the shard_map word-bag pack (ops/bag.ShardedBagPack) from
+    ``bag_inputs = (query_words, query_word_counts, vocab_rows)``; None
+    when inputs are absent or kernels are off (the bag then falls back to
+    plain autodiff through the GSPMD-partitioned XLA gather)."""
+    if bag_inputs is None or not pack_kernels:
+        return None
+    from ihgnn_tpu.ops.bag import make_sharded_bag_pack
+    query_words, counts, vocab_rows = bag_inputs
+    return make_sharded_bag_pack(query_words, counts, vocab_rows,
+                                 max(1, data_parallel), mesh)
 
 
 def pad_hypergraph_for_mesh(graph: HyperGraph, data_parallel: int,
                             mesh: Mesh = None,
-                            pack_kernels: bool = None) -> HyperGraph:
+                            pack_kernels: bool = None,
+                            bag_inputs=None) -> HyperGraph:
     """Pad edge count to a multiple of the data axis so edge arrays shard
     evenly, and (when a mesh is given) build the per-shard Pallas kernel
     packs (ops/packing.ShardedHyperPack) so the fast path survives
@@ -212,7 +247,7 @@ def pad_hypergraph_for_mesh(graph: HyperGraph, data_parallel: int,
         graph = HyperGraph(i3=i3.astype(np.int32), dv=graph.dv,
                            inc_node=inc_node, inc_edge=inc_edge,
                            edge_mask=mask, node_count=graph.node_count,
-                           edge_count=int(e_pad))
+                           edge_count=int(e_pad), bag=graph.bag)
     if pack_kernels is None:
         pack_kernels = jax.default_backend() == "tpu"
     if mesh is not None:
@@ -222,7 +257,10 @@ def pad_hypergraph_for_mesh(graph: HyperGraph, data_parallel: int,
             skp = build_sharded_hyper_pack(
                 np.asarray(graph.i3), graph.node_count,
                 max(1, data_parallel), mesh)
-        # the unsharded single-chip pack cannot run under a mesh (a bare
-        # pallas_call is not GSPMD-partitionable) — drop it either way
-        graph = graph.replace(skp=skp, kp=None)
+        # the unsharded single-chip packs cannot run under a mesh (a bare
+        # pallas_call is not GSPMD-partitionable) — drop them either way
+        # and rebuild the word-bag pack per shard
+        graph = graph.replace(
+            skp=skp, kp=None,
+            bag=_sharded_bag(bag_inputs, data_parallel, mesh, pack_kernels))
     return graph

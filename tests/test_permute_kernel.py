@@ -144,3 +144,27 @@ def test_rlp_long_rows_f32_shrinks_blocks():
                                        interpret=True))
     np.testing.assert_allclose(out, np.take_along_axis(x, p[None], axis=2),
                                rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("dtype", [jnp.bfloat16, jnp.float32])
+def test_row_local_permute_int8_exact(dtype):
+    """Long-row byte-plane kernel: EXACT bit transport (incl. NaN/inf/-0)
+    for both the 2-plane bf16 and 4-plane f32 packings."""
+    from ihgnn_tpu.ops.pallas.permute import int8_rlp_ok, row_local_permute_int8
+    rng = np.random.default_rng(7)
+    d, r, c = 8, 16, 2304                   # c > 2048 = the long-row gate
+    assert int8_rlp_ok(d, r, c, dtype)
+    x = rng.standard_normal((d, r, c)).astype(np.float32)
+    x.reshape(-1)[::97] = np.nan            # byte transport must keep bits
+    x.reshape(-1)[5::191] = np.inf
+    x.reshape(-1)[11::191] = -0.0
+    xj = jnp.asarray(x).astype(dtype)
+    p = np.stack([rng.permutation(c) for _ in range(r)]).astype(np.int32)
+    out = row_local_permute_int8(xj, jnp.asarray(p), interpret=True)
+    want = np.take_along_axis(np.asarray(xj),
+                              np.broadcast_to(p[:, None].swapaxes(0, 1),
+                                              (d, r, c)), axis=2)
+    np.testing.assert_array_equal(
+        np.asarray(out).view(np.uint16 if dtype == jnp.bfloat16
+                             else np.uint32),
+        want.view(np.uint16 if dtype == jnp.bfloat16 else np.uint32))

@@ -108,6 +108,39 @@ def test_sharded_pallas_step_matches_single_device():
                                    rtol=5e-4, atol=5e-4)
 
 
+def test_sharded_bag_matches_single_device():
+    """The routed word-bag survives the mesh: per-query-slice BagPacks
+    under shard_map (ops/bag.ShardedBagPack) reproduce the single-device
+    step bit-for-bit-ish. query_count=7 is not divisible by the 4-way
+    data axis, so the dummy zero-weight query padding is exercised too."""
+    cfg, data, graph, model, state, batch, make_step = _build(
+        table_row_multiple=2, pad_edges_to=4)
+    assert graph.bag is not None          # reference runs the bag twins
+    s_ref, loss_ref = make_step(graph)(state, batch)
+
+    _, data2, _, _, state2, batch2, make_step2 = _build(
+        table_row_multiple=2, pad_edges_to=4)
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    graph2 = pad_hypergraph_for_mesh(
+        data2.hypergraph, 4, mesh=mesh, pack_kernels=True,
+        bag_inputs=(data2.query_words, data2.query_word_counts,
+                    data2.vocab_size + 1))
+    from ihgnn_tpu.ops.bag import ShardedBagPack
+    assert isinstance(graph2.bag, ShardedBagPack)
+    assert graph2.bag.n_shards == 4 and graph2.bag.q == data2.query_count
+    sh_state = shard_state(state2, mesh)
+    sh_graph = shard_graph(graph2, mesh)
+    sh_batch = shard_batch(batch2, mesh)
+    s_out, loss_sh = make_step2(sh_graph)(sh_state, sh_batch)
+
+    assert float(loss_sh) == pytest.approx(float(loss_ref), rel=1e-4)
+    ref_leaves = jax.tree.leaves(s_ref.params)
+    out_leaves = jax.tree.leaves(jax.device_get(s_out.params))
+    for a, b in zip(ref_leaves, out_leaves):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)
+
+
 def _loss_for(model_cfg: ModelConfig, make_graph, seed=5):
     """One train-step loss for a model config over make_graph(data)."""
     cfg = Config(model=model_cfg,
