@@ -261,6 +261,36 @@ def main():
     ms, _ = timed(rlp_bt_fn, gb, args.iters)
     report("pallas_rlp_then_bt_bf16", ms, True, 0.0)
 
+    # long-row int8 byte-plane permute (the stress middle-stage kernel):
+    # run it on the TRANSPOSED grid orientation [cols, rows] whose rows are
+    # the long axis, like the real middle stage; exactness must be bitwise
+    from ihgnn_tpu.ops.pallas.permute import int8_rlp_ok, row_local_permute_int8
+    i8_rows = 128 if args.quick else 512
+    i8_len = 2560 if args.quick else 4992      # > the 2048 long-row gate
+    if int8_rlp_ok(d, i8_rows, i8_len, jnp.bfloat16):
+        g_long = jnp.asarray(
+            rng.standard_normal((d, i8_rows, i8_len)).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        p_long = np.stack([rng.permutation(i8_len)
+                           for _ in range(i8_rows)]).astype(np.int32)
+        p_long_j = jax.device_put(jnp.asarray(p_long))
+
+        @jax.jit
+        def i8_fn(x, s):
+            out = row_local_permute_int8(
+                x + (s * 0).astype(x.dtype), p_long_j, interpret=interp)
+            return out, jnp.sum(out[:, 0, :8].astype(jnp.float32))
+
+        ms, out = timed(i8_fn, g_long, args.iters)
+        ref_i8 = np.take_along_axis(
+            np.asarray(g_long),
+            np.broadcast_to(p_long[None], g_long.shape), axis=2)
+        bits_ok = np.array_equal(np.asarray(out).view(np.uint16),
+                                 ref_i8.view(np.uint16))
+        report("pallas_rlp_int8_longrow_bf16", ms, bool(bits_ok),
+               0.0 if bits_ok else float("nan"), rowlen=i8_len,
+               rows=i8_rows)
+
     # XLA take as permutation baseline
     perm_j = jax.device_put(jnp.asarray(perm_pad.astype(np.int32)))
 
