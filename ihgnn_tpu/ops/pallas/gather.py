@@ -79,6 +79,52 @@ def pack_windows(idx: np.ndarray, w_cap: int = 16384) -> WindowedGatherPack:
 NBUF = 4    # max window-DMA pipeline depth (rows in flight)
 
 
+def _gather_kernel_i8(win_ref, idx_ref, x_hbm, o_ref, xwin, sems, ctr,
+                      *, w: int, nbuf: int):
+    """int8 byte-plane variant: a gather one-hot selects exactly one source
+    per output (same exactness argument as the permutation kernels,
+    permute.py), so the depth-w matmul runs on raw value bytes at the MXU's
+    2x int8 rate with the one-hot mask built at 1 byte/element."""
+    from ihgnn_tpu.ops.pallas.permute import (pack_byte_planes,
+                                              recombine_byte_planes)
+    r = pl.program_id(0)
+    n_rows = pl.num_programs(0)
+
+    def dma(row):
+        off = pl.multiple_of(win_ref[row], CHUNK)
+        slot = jax.lax.rem(row, nbuf)
+        return pltpu.make_async_copy(
+            x_hbm.at[:, pl.ds(off, w)], xwin.at[slot], sems.at[slot])
+
+    @pl.when(r == 0)
+    def _():
+        ctr[0] = 0
+
+    tgt = jnp.minimum(r + nbuf - 1, n_rows - 1)
+
+    def fetch(rr, _):
+        dma(rr).start()
+        return 0
+
+    fetched = ctr[0]
+    jax.lax.fori_loop(jnp.maximum(fetched, r), tgt + 1, fetch, 0)
+    ctr[0] = jnp.maximum(fetched, tgt + 1)
+
+    slot = jax.lax.rem(r, nbuf)
+    dma(r).wait()
+
+    d = xwin.shape[1]
+    xs = pack_byte_planes(xwin[slot])              # [Pd, w] int8
+    n_chunks = idx_ref.shape[1]
+    for j in range(n_chunks):
+        rel = idx_ref[0, j, :].reshape(1, CHUNK)
+        onehot = (jax.lax.broadcasted_iota(jnp.int32, (w, CHUNK), 0)
+                  == rel).astype(jnp.int8)
+        planes = jnp.dot(xs, onehot, preferred_element_type=jnp.int32)
+        o_ref[:, j * CHUNK:(j + 1) * CHUNK] = recombine_byte_planes(
+            planes, d, o_ref.dtype)
+
+
 def _gather_kernel(win_ref, idx_ref, x_hbm, o_ref, xwin, sems, ctr,
                    *, w: int, nbuf: int):
     r = pl.program_id(0)
@@ -134,16 +180,23 @@ def _gather_kernel(win_ref, idx_ref, x_hbm, o_ref, xwin, sems, ctr,
         o_ref[:, j * CHUNK:(j + 1) * CHUNK] = out.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("w", "interpret"))
+def gather_int8_ok(dtype) -> bool:
+    return dtype in (jnp.bfloat16, jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("w", "interpret", "int8"))
 def windowed_gather(x_t: jnp.ndarray, idx_rel: jnp.ndarray, win: jnp.ndarray,
-                    w: int, interpret: bool = False) -> jnp.ndarray:
+                    w: int, interpret: bool = False,
+                    int8: bool = False) -> jnp.ndarray:
     """x_t: [d, n_pad]; idx_rel/win from ``pack_windows`` → [d, R*C] with
     out[:, r*C + c] = x_t[:, win[r] + idx[r, c]]. n_pad must be >=
-    pack.src_pad (pad the source with zero columns)."""
+    pack.src_pad (pad the source with zero columns). ``int8`` runs the
+    byte-plane kernel (exact; 2x MXU rate)."""
     d, n_pad = x_t.shape
     r, n_chunks, _ = idx_rel.shape
     c = n_chunks * CHUNK
     assert w % CHUNK == 0 and n_pad % CHUNK == 0, (w, n_pad)
+    assert not int8 or gather_int8_ok(x_t.dtype), x_t.dtype
 
     # clamp the pipeline depth so window buffers stay within ~6MB VMEM
     itemsize = jnp.dtype(x_t.dtype).itemsize
@@ -164,8 +217,9 @@ def windowed_gather(x_t: jnp.ndarray, idx_rel: jnp.ndarray, win: jnp.ndarray,
             pltpu.SMEM((1,), jnp.int32),
         ],
     )
+    kernel = _gather_kernel_i8 if int8 else _gather_kernel
     return pl.pallas_call(
-        functools.partial(_gather_kernel, w=w, nbuf=nbuf),
+        functools.partial(kernel, w=w, nbuf=nbuf),
         out_shape=jax.ShapeDtypeStruct((d, r * c), x_t.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -251,10 +305,75 @@ def _gather_t_kernel(win_ref, idx_ref, x_hbm, o_ref, xwin, y_ref, sems,
     o_ref[...] = jnp.swapaxes(y_ref[...], 1, 2)
 
 
-@functools.partial(jax.jit, static_argnames=("w", "interpret"))
+def _gather_t_kernel_i8(win_ref, idx_ref, x_hbm, o_ref, xwin, xs, y_ref,
+                        sems, *, w: int):
+    """int8 byte-plane variant of the fused transposed expand: at i == 0
+    the fetched row windows are packed ONCE into an int8 plane scratch
+    [RT, Pd, w]; each chunk then runs depth-w int8 one-hot matmuls."""
+    from ihgnn_tpu.ops.pallas.permute import recombine_byte_planes
+    rt = xwin.shape[0]
+    d = xwin.shape[1]
+    n_planes = xs.shape[1] // d
+    i = pl.program_id(1)
+    j = pl.program_id(0)
+    grp = 16
+
+    @pl.when(i == 0)
+    def _fetch_windows():
+        def start(rr, _):
+            off = pl.multiple_of(win_ref[j * rt + rr], CHUNK)
+            pltpu.make_async_copy(x_hbm.at[:, pl.ds(off, w)],
+                                  xwin.at[rr], sems.at[rr]).start()
+            return 0
+
+        jax.lax.fori_loop(0, rt, start, 0, unroll=False)
+
+        def wait_and_pack(rr, _):
+            off = pl.multiple_of(win_ref[j * rt + rr], CHUNK)
+            pltpu.make_async_copy(x_hbm.at[:, pl.ds(off, w)],
+                                  xwin.at[rr], sems.at[rr]).wait()
+            return 0
+
+        jax.lax.fori_loop(0, rt, wait_and_pack, 0, unroll=False)
+
+        def pack(g, _):
+            rows = pl.ds(g * grp, grp)
+            v = xwin[rows]                       # [grp, d, w]
+            if n_planes == 2:
+                u = jax.lax.bitcast_convert_type(v, jnp.uint16).astype(
+                    jnp.int32)
+            else:
+                u = jax.lax.bitcast_convert_type(v, jnp.uint32).astype(
+                    jnp.int32)
+            planes = [((u >> (8 * (n_planes - 1 - pi))) & 255) - 128
+                      for pi in range(n_planes)]
+            xs[rows] = jnp.concatenate(planes, axis=1).astype(jnp.int8)
+            return 0
+
+        jax.lax.fori_loop(0, rt // grp, pack, 0, unroll=False)
+
+    def body(g, _):
+        rows = pl.ds(g * grp, grp)
+        xg = xs[rows]                            # [grp, Pd, w] int8
+        rel = idx_ref[rows, :]                   # [grp, CHUNK]
+        outs = []
+        for rr in range(grp):
+            onehot = (jax.lax.broadcasted_iota(jnp.int32, (w, CHUNK), 0)
+                      == rel[rr].reshape(1, CHUNK)).astype(jnp.int8)
+            planes = jnp.dot(xg[rr], onehot,
+                             preferred_element_type=jnp.int32)
+            outs.append(recombine_byte_planes(planes, d, y_ref.dtype))
+        y_ref[:, rows, :] = jnp.stack(outs, axis=1)
+        return 0
+
+    jax.lax.fori_loop(0, rt // grp, body, 0, unroll=False)
+    o_ref[...] = jnp.swapaxes(y_ref[...], 1, 2)
+
+
+@functools.partial(jax.jit, static_argnames=("w", "interpret", "int8"))
 def windowed_gather_t(x_t: jnp.ndarray, idx_rel: jnp.ndarray,
-                      win: jnp.ndarray, w: int,
-                      interpret: bool = False) -> jnp.ndarray:
+                      win: jnp.ndarray, w: int, interpret: bool = False,
+                      int8: bool = False) -> jnp.ndarray:
     """Fused transpose(windowed_gather): → [d, C, R] with
     out[:, c, r] = x_t[:, win[r] + idx[r, c]]."""
     d, n_pad = x_t.shape
@@ -262,6 +381,15 @@ def windowed_gather_t(x_t: jnp.ndarray, idx_rel: jnp.ndarray,
     c = n_chunks * CHUNK
     assert w % CHUNK == 0 and n_pad % CHUNK == 0, (w, n_pad)
     assert r % EXP_RT == 0, r
+    assert not int8 or gather_int8_ok(x_t.dtype), x_t.dtype
+    n_planes = 2 if x_t.dtype == jnp.bfloat16 else 4
+    scratch = [
+        pltpu.VMEM((EXP_RT, d, w), x_t.dtype),
+        pltpu.VMEM((d, EXP_RT, CHUNK), x_t.dtype),
+        pltpu.SemaphoreType.DMA((EXP_RT,)),
+    ]
+    if int8:
+        scratch.insert(1, pltpu.VMEM((EXP_RT, n_planes * d, w), jnp.int8))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(r // EXP_RT, n_chunks),
@@ -275,15 +403,12 @@ def windowed_gather_t(x_t: jnp.ndarray, idx_rel: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec((d, CHUNK, EXP_RT), lambda j, i, win: (0, i, j),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((EXP_RT, d, w), x_t.dtype),
-            pltpu.VMEM((d, EXP_RT, CHUNK), x_t.dtype),
-            pltpu.SemaphoreType.DMA((EXP_RT,)),
-        ],
+        scratch_shapes=scratch,
     )
     assert exp_t_vmem_ok(d, w, x_t.dtype), (d, w, x_t.dtype)
+    kernel = _gather_t_kernel_i8 if int8 else _gather_t_kernel
     return pl.pallas_call(
-        functools.partial(_gather_t_kernel, w=w),
+        functools.partial(kernel, w=w),
         out_shape=jax.ShapeDtypeStruct((d, c, r), x_t.dtype),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(

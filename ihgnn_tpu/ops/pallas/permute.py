@@ -294,9 +294,41 @@ def transposed_local_permute(x: jnp.ndarray, p: jnp.ndarray,
 INT8_RT = 16      # rows per tile (int8 scratch keeps (32, 128) tiling ok)
 
 
+def byte_plane_count(dtype) -> int:
+    return 2 if dtype == jnp.bfloat16 else 4
+
+
+def pack_byte_planes(v: jnp.ndarray) -> jnp.ndarray:
+    """[d, ...] bf16/f32 → [n_planes*d, ...] int8 of (byte - 128) planes,
+    most-significant first (in-kernel helper: VPU shifts only)."""
+    d = v.shape[0]
+    n_planes = byte_plane_count(v.dtype)
+    if n_planes == 2:
+        u = jax.lax.bitcast_convert_type(v, jnp.uint16).astype(jnp.int32)
+    else:
+        u = jax.lax.bitcast_convert_type(v, jnp.uint32).astype(jnp.int32)
+    planes = [((u >> (8 * (n_planes - 1 - pi))) & 255) - 128
+              for pi in range(n_planes)]
+    return jnp.concatenate(planes, axis=0).astype(jnp.int8)
+
+
+def recombine_byte_planes(planes_i32: jnp.ndarray, d: int,
+                          out_dtype) -> jnp.ndarray:
+    """[n_planes*d, ...] int32 of selected (byte - 128) plane values →
+    [d, ...] out_dtype by byte recombination (exact bit transport)."""
+    n_planes = planes_i32.shape[0] // d
+    b = planes_i32 + 128
+    acc = b[:d].astype(jnp.uint32)
+    for pi in range(1, n_planes):
+        acc = (acc << 8) | b[pi * d:(pi + 1) * d].astype(jnp.uint32)
+    if out_dtype == jnp.bfloat16:
+        return jax.lax.bitcast_convert_type(acc.astype(jnp.uint16),
+                                            jnp.bfloat16)
+    return jax.lax.bitcast_convert_type(acc, jnp.float32)
+
+
 def _i8_kernel(x_hbm, p_ref, o_ref, xv, xs, sem):
     d, rt, c = xv.shape
-    n_planes = xs.shape[0] // d
     i = pl.program_id(1)
     j = pl.program_id(0)
 
@@ -306,29 +338,13 @@ def _i8_kernel(x_hbm, p_ref, o_ref, xv, xs, sem):
                                     xv, sem)
         dma.start()
         dma.wait()
-        v = xv[...]
-        if n_planes == 2:
-            u = jax.lax.bitcast_convert_type(v, jnp.uint16).astype(jnp.int32)
-        else:
-            u = jax.lax.bitcast_convert_type(v, jnp.uint32).astype(jnp.int32)
-        for pl_i in range(n_planes):
-            byte = (u >> (8 * (n_planes - 1 - pl_i))) & 255
-            xs[pl_i * d:(pl_i + 1) * d] = (byte - 128).astype(jnp.int8)
+        xs[...] = pack_byte_planes(xv[...])
 
     for r in range(rt):
         oh = (jax.lax.broadcasted_iota(jnp.int32, (c, CHUNK), 0)
               == p_ref[r, :].reshape(1, CHUNK)).astype(jnp.int8)
-        planes = jnp.dot(xs[:, r, :], oh,
-                         preferred_element_type=jnp.int32) + 128
-        acc = planes[:d].astype(jnp.uint32)
-        for pl_i in range(1, n_planes):
-            acc = (acc << 8) | planes[pl_i * d:(pl_i + 1) * d].astype(
-                jnp.uint32)
-        if n_planes == 2:
-            o_ref[:, r, :] = jax.lax.bitcast_convert_type(
-                acc.astype(jnp.uint16), jnp.bfloat16)
-        else:
-            o_ref[:, r, :] = jax.lax.bitcast_convert_type(acc, jnp.float32)
+        planes = jnp.dot(xs[:, r, :], oh, preferred_element_type=jnp.int32)
+        o_ref[:, r, :] = recombine_byte_planes(planes, d, o_ref.dtype)
 
 
 def int8_rlp_ok(d: int, r: int, c: int, dtype) -> bool:
@@ -367,6 +383,96 @@ def row_local_permute_int8(x: jnp.ndarray, p: jnp.ndarray,
         compiler_params=_RLP_VMEM,
         interpret=interpret,
     )(x, p)
+
+
+# ---------------------------------------------------------------------------
+# int8 byte-plane HIER kernel: the hier kernel's two one-hot levels run on
+# raw value BYTES (same exactness argument as row_local_permute_int8 — a
+# permutation one-hot selects exactly one source per output, so int8 plane
+# transport is bit-exact). Wins at short rows too: each [W, W] one-hot
+# loads into the MXU at the 2x int8 rate and the M axis packs n_planes*d
+# rows instead of d. Stage-A results fit int8 exactly ((byte-128) in
+# [-128, 127]), so the cross-block exchange also runs on int8 planes —
+# for bf16 that is the same byte traffic as the bf16 exchange (2d int8
+# rows vs d bf16 rows); the win is purely the matmul levels.
+# ---------------------------------------------------------------------------
+
+
+def _hier_i8_kernel(x_ref, p_ref, o_ref, xs):
+    """Block [d, rows, C] + packed hier tables [rows, C] → permuted block,
+    byte planes end-to-end: pack once per block, stage A → exchange →
+    stage B on int8, recombine bytes at the store."""
+    d, rows, c = x_ref.shape
+    w = HIER_W
+    b = c // w
+    iota = jax.lax.broadcasted_iota(jnp.int32, (w, w), 0)
+
+    xs[...] = pack_byte_planes(x_ref[...])
+
+    def onehot_dot_i8(vals, p_slice):
+        oh = (iota == p_slice.reshape(1, w)).astype(jnp.int8)
+        return jnp.dot(vals, oh, preferred_element_type=jnp.int32)
+
+    for r in range(rows):
+        x = xs[:, r, :]                                  # [Pd, C] int8
+        word = p_ref[r, :]
+        p0 = word & 1023
+        s = (word >> 10) & 1023
+        p2 = word >> 20
+        # stage A: in-block source shuffle; results are exact plane bytes
+        # ((byte - 128) in [-128, 127] — the int8 round-trip is lossless)
+        a0 = [onehot_dot_i8(x[:, j * w:(j + 1) * w],
+                            p0[j * w:(j + 1) * w]).astype(jnp.int8)
+              for j in range(b)]
+        for bb in range(b):
+            sb = s[bb * w:(bb + 1) * w].reshape(1, w)
+            acc = a0[0]
+            for j in range(1, b):
+                acc = jnp.where(sb == j, a0[j], acc)
+            planes = onehot_dot_i8(acc, p2[bb * w:(bb + 1) * w])
+            o_ref[:, r, bb * w:(bb + 1) * w] = recombine_byte_planes(
+                planes, d, o_ref.dtype)
+
+
+def hier_int8_ok(d: int, r: int, c: int, dtype) -> bool:
+    """Shapes the int8 hier kernel handles (same tiling contract as the
+    hier kernel, plus the int8 plane scratch within scoped VMEM)."""
+    if dtype not in (jnp.bfloat16, jnp.float32):
+        return False
+    n_planes = 2 if dtype == jnp.bfloat16 else 4
+    rows = _rlp_rows(d, r, c, dtype)
+    isz = jnp.dtype(dtype).itemsize
+    tile = d * rows * c * isz * 2 + n_planes * d * rows * c
+    return (r % rows == 0 and c % HIER_W == 0 and c // HIER_W <= 16
+            and tile + (4 << 20) <= 80 << 20)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def row_local_permute_hier_int8(x: jnp.ndarray, packed: jnp.ndarray,
+                                interpret: bool = False) -> jnp.ndarray:
+    """x: [d, R, C] bf16/f32; packed hier tables [R, C] int32 →
+    out[:, r, c] = x[:, r, full_perm[r, c]] — exact byte transport."""
+    d, r, c = x.shape
+    assert packed.shape == (r, c), (packed.shape, x.shape)
+    assert hier_int8_ok(d, r, c, x.dtype), (x.shape, x.dtype)
+    rows = _rlp_rows(d, r, c, x.dtype)
+    n_planes = 2 if x.dtype == jnp.bfloat16 else 4
+    return pl.pallas_call(
+        _hier_i8_kernel,
+        grid=(r // rows,),
+        in_specs=[
+            pl.BlockSpec((d, rows, c), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, c), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((d, rows, c), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((d, r, c), x.dtype),
+        scratch_shapes=[pltpu.VMEM((n_planes * d, rows, c), jnp.int8)],
+        compiler_params=_RLP_VMEM,
+        interpret=interpret,
+    )(x, packed)
 
 
 # ---------------------------------------------------------------------------

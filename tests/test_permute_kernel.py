@@ -168,3 +168,27 @@ def test_row_local_permute_int8_exact(dtype):
         np.asarray(out).view(np.uint16 if dtype == jnp.bfloat16
                              else np.uint32),
         want.view(np.uint16 if dtype == jnp.bfloat16 else np.uint32))
+
+
+@pytest.mark.parametrize("dtype", [jnp.bfloat16, jnp.float32])
+def test_row_local_permute_hier_int8_exact(dtype):
+    """int8 byte-plane HIER kernel: exact bit transport (incl. NaN/inf/-0)
+    through both one-hot levels and the int8 cross-block exchange."""
+    from ihgnn_tpu.ops.pallas.permute import (hier_int8_ok,
+                                              row_local_permute_hier_int8)
+    rng = np.random.default_rng(13)
+    d, r, c = 8, 16, 512
+    assert hier_int8_ok(d, r, c, dtype)
+    perms = np.stack([rng.permutation(c) for _ in range(r)]).astype(np.int32)
+    packed = jnp.asarray(route_rows_hier(perms))
+    x = rng.standard_normal((d, r, c)).astype(np.float32)
+    x.reshape(-1)[::97] = np.nan
+    x.reshape(-1)[5::191] = np.inf
+    x.reshape(-1)[11::191] = -0.0
+    xj = jnp.asarray(x).astype(dtype)
+    out = row_local_permute_hier_int8(xj, packed, interpret=True)
+    want = np.take_along_axis(np.asarray(xj),
+                              np.broadcast_to(perms[None], (d, r, c)), axis=2)
+    view = np.uint16 if dtype == jnp.bfloat16 else np.uint32
+    np.testing.assert_array_equal(np.asarray(out).view(view),
+                                  want.view(view))
