@@ -28,8 +28,27 @@ import numpy as np
 
 
 def build_bench_graph(user_count, query_count, item_count, edge_count, seed=0):
-    """Directly generate packed arrays (bypasses the python log pipeline)."""
+    """Directly generate packed arrays (bypasses the python log pipeline).
+
+    The packed graph (incl. the Clos routing tables, ~minutes of host work
+    at 2M+ edges) is disk-cached per config so repeated bench/probe runs
+    only pay it once."""
+    import os
+    import pickle
+
     from ihgnn_tpu.graph import build_hypergraph
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".cache")
+    key = f"benchgraph_u{user_count}_q{query_count}_i{item_count}" \
+          f"_e{edge_count}_s{seed}.pkl"
+    path = os.path.join(cache_dir, key)
+    if os.path.exists(path):
+        try:
+            with open(path, "rb") as f:
+                return pickle.load(f)
+        except Exception:
+            pass  # stale/corrupt cache: rebuild
 
     rng = np.random.default_rng(seed)
     node_count = user_count + query_count + item_count
@@ -39,7 +58,13 @@ def build_bench_graph(user_count, query_count, item_count, edge_count, seed=0):
         rng.integers(0, item_count, edge_count),
         np.ones(edge_count, np.int64),
     ], axis=1).astype(np.int64)
-    return build_hypergraph(uqif, node_count, user_count, query_count), uqif
+    out = build_hypergraph(uqif, node_count, user_count, query_count), uqif
+    os.makedirs(cache_dir, exist_ok=True)
+    tmp = path + f".tmp{os.getpid()}"
+    with open(tmp, "wb") as f:
+        pickle.dump(out, f)
+    os.replace(tmp, path)
+    return out
 
 
 def main():
