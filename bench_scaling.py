@@ -94,6 +94,15 @@ def main():
         # (mirrors cli.py; binding first would time the unsharded graph)
         step = make_train_step(model, graph, qw, qc, tx)
 
+        # compiled-collective stats: the program's real comm volume, so
+        # CPU-mesh efficiency can be read against comm rather than host
+        # contention (utils/hlo_stats.py)
+        from ihgnn_tpu.utils.hlo_stats import collective_stats, comm_bytes
+        compiled = step.inner.lower(state, *step.bound_args,
+                                    batch).compile()
+        hlo = compiled.as_text()
+        stats = collective_stats(hlo)
+
         state, loss = step(state, batch)
         float(loss)  # scalar fetch: block_until_ready is unreliable on axon
         t0 = time.time()
@@ -110,6 +119,8 @@ def main():
             "value": round(results[n], 1),
             "unit": "examples/s",
             "scaling_efficiency": round(eff, 3),
+            "comm_bytes_per_step": comm_bytes(hlo),
+            "collectives": stats,
         }))
 
 

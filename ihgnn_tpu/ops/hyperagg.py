@@ -326,8 +326,24 @@ _scatter_pallas.defvjp(_scatter_fwd, _scatter_bwd)
 # non-differentiated per-shard Pallas impls, so autodiff never traverses
 # the manual-mesh region. Per-shard layout: each shard owns a contiguous
 # slice of the (u-sorted) edge axis — still u-sorted, so the per-shard
-# packs follow the exact single-chip construction. Node features enter
-# replicated; scatter outputs psum over the data axis.
+# packs follow the exact single-chip construction.
+#
+# Node-partial combining is NODE-SHARDED (BASELINE.json north star:
+# "psum_scatter for incidence-aggregation partials"): every scatter-like
+# body reduce-scatters its [d, N] partial over the data axis
+# (``lax.psum_scatter``, node axis padded to a lane-aligned multiple of
+# the axis size) and emits out_specs P(None, data) — each device keeps
+# only its [d, N/P] node block, so per-device node memory and collective
+# payload stop scaling with the full node count. Per-node work between
+# layers (Dv^-1 scale, feature transform, remat) then runs on the
+# node-sharded array under GSPMD; the next gather-like body declares its
+# node input replicated (in_specs P()), which makes GSPMD materialize the
+# one all-gather the expansion windows actually need. Comm per call is
+# one reduce-scatter + one all-gather = exactly one all-reduce — the same
+# bytes as the old full-matrix psum — but the replicated [d, N] array
+# (≈450 MB at the 100M-edge stress config) never exists outside the
+# collective, and the all-gather can later shrink to the window ranges
+# the packs touch (docs/PARALLELISM.md).
 
 
 def _kp_local(kp_stacked):
@@ -344,45 +360,70 @@ def _sharded_specs(skp):
     return P, DATA_AXIS, mesh, platform
 
 
-def _sh_gather_impl(x_pad, skp):
+def _node_pad(n: int, n_shards: int) -> int:
+    """Node-axis length for reduce-scattered outputs: a multiple of the
+    data-axis size, 128-aligned per shard so GSPMD shard boundaries never
+    split a lane tile."""
+    block = 128 * n_shards
+    return -(-max(n, 1) // block) * block
+
+
+def _rs_node_partial(partial, n_pad: int, data):
+    """Reduce-scatter a per-shard [d, n] node partial into this device's
+    [d, n_pad / P] node block (f32 accumulation happens in the collective)."""
+    d, n = partial.shape
+    return jax.lax.psum_scatter(
+        jnp.pad(partial, ((0, 0), (0, n_pad - n))), data,
+        scatter_dimension=1, tiled=True)
+
+
+def _sh_gather_impl(x_t, skp):
     P, data, mesh, plat = _sharded_specs(skp)
 
-    def body(x_loc, kp_st):
+    def body(x_full, kp_st):
         kp = _kp_local(kp_st)
-        u, q, i = _gather_impl(x_loc, kp)
+        x_pad = jnp.pad(x_full, ((0, 0), (0, kp.src_pad - kp.n)))
+        u, q, i = _gather_impl(x_pad, kp)
         return u[:, :kp.e], q[:, :kp.e], i[:, :kp.e]    # 3 x [d, e_shard]
 
     with _impl_platform(plat):
+        # in_specs P() on the node-sharded x_t makes GSPMD insert the one
+        # all-gather the expansion windows need (the RS+AG pair per layer
+        # costs the same bytes as the old full-matrix all-reduce)
         return jax.shard_map(body, mesh=mesh, in_specs=(P(), P(data)),
                              out_specs=(P(None, data),) * 3,
-                             check_vma=False)(x_pad, skp.kp)
+                             check_vma=False)(x_t, skp.kp)
 
 
 def _sh_scatter_impl(edge_t, skp):
     P, data, mesh, plat = _sharded_specs(skp)
+    n_pad = _node_pad(skp.kp.n, skp.n_shards)
 
     def body(e_loc, kp_st):
         kp = _kp_local(kp_st)
         e_pad = jnp.pad(e_loc, ((0, 0), (0, kp.e_pad - kp.e)))
-        return jax.lax.psum(_scatter_impl(e_pad, kp), data)
+        return _rs_node_partial(_scatter_impl(e_pad, kp), n_pad, data)
 
     with _impl_platform(plat):
-        return jax.shard_map(body, mesh=mesh,
-                             in_specs=(P(None, data), P(data)),
-                             out_specs=P(), check_vma=False)(edge_t, skp.kp)
+        out = jax.shard_map(body, mesh=mesh,
+                            in_specs=(P(None, data), P(data)),
+                            out_specs=P(None, data),
+                            check_vma=False)(edge_t, skp.kp)
+    return out[:, :skp.kp.n]                            # node-sharded
 
 
 @jax.custom_vjp
-def _gather_roles_sharded(x_pad, skp):
-    return _sh_gather_impl(x_pad, skp)
+def _gather_roles_sharded(x_t, skp):
+    return _sh_gather_impl(x_t, skp)
 
 
-def _sh_gather_fwd(x_pad, skp):
-    return _sh_gather_impl(x_pad, skp), skp
+def _sh_gather_fwd(x_t, skp):
+    return _sh_gather_impl(x_t, skp), skp
 
 
 def _sh_gather_bwd(skp, cot):
     P, data, mesh, plat = _sharded_specs(skp)
+    n_pad = _node_pad(skp.kp.n, skp.n_shards)
 
     def body(cot_loc, kp_st):                           # 3 x [d, e_shard]
         kp = _kp_local(kp_st)
@@ -391,16 +432,15 @@ def _sh_gather_bwd(skp, cot):
         cot_q = _permute_to_t1(cq, kp.q, kp.rows, kp.cols)
         cot_i = _permute_to_t1(ci, kp.i, kp.rows, kp.cols)
         grad = _segsum_regions(cu, cot_q, cot_i, kp)    # f32 accumulation
-        # gather is dtype-preserving: primal x_pad dtype == cot dtype
-        grad = jnp.pad(grad.astype(cu.dtype),
-                       ((0, 0), (0, kp.src_pad - kp.n)))
-        return jax.lax.psum(grad, data)
+        # gather is dtype-preserving: primal x_t dtype == cot dtype
+        return _rs_node_partial(grad.astype(cu.dtype), n_pad, data)
 
     with _impl_platform(plat):
         grad = jax.shard_map(body, mesh=mesh,
                              in_specs=(((P(None, data),) * 3), P(data)),
-                             out_specs=P(), check_vma=False)(cot, skp.kp)
-    return grad, _f0_tree(skp)
+                             out_specs=P(None, data),
+                             check_vma=False)(cot, skp.kp)
+    return grad[:, :skp.kp.n], _f0_tree(skp)
 
 
 _gather_roles_sharded.defvjp(_sh_gather_fwd, _sh_gather_bwd)
@@ -431,6 +471,8 @@ def _sh_scatter_bwd(res, cot):
         return grad[:, :kp.e]
 
     with _impl_platform(plat):
+        # cot is node-sharded (scatter's output spec); in_specs P() makes
+        # GSPMD all-gather it once for the per-shard expansions
         grad = jax.shard_map(body, mesh=mesh, in_specs=(P(), P(data)),
                              out_specs=P(None, data), check_vma=False)(
                                  cot, skp.kp)
@@ -479,11 +521,11 @@ def make_hyper_ops(graph: HyperGraph, bf16_stream: bool = False):
 
     if getattr(graph, "skp", None) is not None:
         skp = graph.skp
-        src_pad = skp.kp.src_pad
 
         def gather_roles_t(x_t):
-            x_pad = jnp.pad(_cast(x_t), ((0, 0), (0, src_pad - n)))
-            return _gather_roles_sharded(x_pad, skp)
+            # src_pad padding happens inside the shard_map body (the node
+            # input may arrive node-sharded from the previous scatter)
+            return _gather_roles_sharded(_cast(x_t), skp)
 
         def scatter_incidence_t(edge_t):
             return _scatter_sharded(edge_t, skp)

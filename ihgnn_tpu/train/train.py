@@ -76,6 +76,10 @@ def make_train_step(model, graph, query_words, query_word_counts,
     def train_step(state: TrainState, batch):
         return inner(state, graph, query_words, query_word_counts, batch)
 
+    # exposed for harnesses that need the compiled module (bench_scaling
+    # parses the optimized HLO for collective stats — utils/hlo_stats.py)
+    train_step.inner = inner
+    train_step.bound_args = (graph, query_words, query_word_counts)
     return train_step
 
 

@@ -1,0 +1,255 @@
+"""Step accounting: reconcile the measured train step against the sum of
+its component kernels AND against HBM-bandwidth floors (VERDICT r2 item 1).
+
+Measures, on the real TPU at the bench config (2M edges, d=32, bf16
+streams — the bench.py default path):
+
+  per-phase components: X0 embed fwd+bwd, per-layer gather/interact/
+  scatter fwd+bwd, whole-layer fwd+bwd (IHGNNLayer apply, order 3 and
+  order 1), head+loss+Adam tail, and the full training step.
+
+Emits docs/STEP_ACCOUNTING.json with, per component:
+  measured_ms           amortized wall-clock (scalar-fetch discipline)
+  floor_ms              HBM speed-of-light for the bytes the component's
+                        kernel sequence must move (byte model inline below)
+and a summary that decomposes the step into
+  (a) kernel headroom   Σ measured − Σ floor
+  (b) composition overhead   step − Σ measured components
+so the remaining gap to the bench SoL is attributable.
+
+Run alone on the TPU (single-tenant; CLAUDE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+E, D = 2_000_000, 32
+U, Q, I, V = 200_000, 100_000, 400_000, 100_000
+N = U + Q + I
+HBM = 819e9
+ISZ = 2            # bf16 streams
+
+
+def _floor_ms(traversals: float, extra_bytes: float = 0.0) -> float:
+    """HBM floor for `traversals` full [d, E] array reads-or-writes plus
+    extra bytes (ids etc.)."""
+    return (traversals * E * D * ISZ + extra_bytes) / HBM * 1e3
+
+
+def timed(fn, *args, iters=10):
+    s = fn(*args, jnp.float32(1.0))
+    _ = float(s)
+    s = fn(*args, 1.0 + 0.0 * s)
+    _ = float(s)
+    t0 = time.time()
+    for _ in range(iters):
+        s = fn(*args, 1.0 + 0.0 * s)
+    _ = float(s)
+    return (time.time() - t0) / iters * 1e3
+
+
+def main():
+    print("# building graph...", flush=True)
+    from bench import build_bench_graph
+    from ihgnn_tpu.config import Config, ModelConfig, TrainConfig
+    from ihgnn_tpu.models.interaction import FeatureInteractor
+    from ihgnn_tpu.models.layers import IHGNNLayer
+    from ihgnn_tpu.ops.bag import make_bag_pack
+    from ihgnn_tpu.ops.hyperagg import make_hyper_ops
+
+    graph, uqif = build_bench_graph(U, Q, I, E)
+    kp = graph.kp
+    e_pad = kp.e_pad
+    rng = np.random.default_rng(0)
+    qw = rng.integers(1, V + 1, size=(Q, 4)).astype(np.int32)
+    qc = np.full(Q, 4, np.int32)
+    graph = graph.replace(bag=make_bag_pack(qw, qc, V + 1))
+    qwj, qcj = jnp.asarray(qw), jnp.asarray(qc)
+
+    x = jnp.asarray(rng.standard_normal((D, N)).astype(np.float32))
+    ef16 = jnp.asarray(rng.standard_normal((D, e_pad))).astype(jnp.bfloat16)
+    roles16 = tuple(jnp.asarray(rng.standard_normal((D, e_pad)))
+                    .astype(jnp.bfloat16) for _ in range(3))
+
+    gather16, scatter16 = make_hyper_ops(graph, bf16_stream=True)
+    comp = {}   # name -> {measured_ms, floor_ms}
+
+    def rec(name, ms, floor):
+        comp[name] = {"measured_ms": round(ms, 2), "floor_ms": round(floor, 2)}
+        print(f"{name:28s} {ms:8.2f} ms   floor {floor:6.2f} ms", flush=True)
+
+    # --- gather fwd+bwd (bf16). Byte model (traversals of [d, E] bf16):
+    # fwd: u expand r+w (2) + q,i chains 3 kernels x r+w (12) = 14
+    # bwd: q,i permute-to-t1 2 kernels x r+w (8) + segsum r(3E)+w(N~0.35E)
+    #      = 3.35 + ids 3E*4B
+    @jax.jit
+    def g_both(x, scale):
+        def loss(x):
+            u, q, i = gather16(x * scale)
+            return (jnp.sum((u * u).astype(jnp.float32))
+                    + jnp.sum((q * q).astype(jnp.float32))
+                    + jnp.sum((i * i).astype(jnp.float32)))
+        l, g = jax.value_and_grad(loss)(x)
+        return l + 0 * jnp.sum(g)
+
+    rec("gather_fwdbwd", timed(g_both, x),
+        _floor_ms(14 + 8 + 3.35, extra_bytes=3 * E * 4))
+
+    # --- scatter fwd+bwd (bf16):
+    # fwd: q,i to-t1 (8) + segsum r(3E)+w(N) + ids; bwd: u expand (2) +
+    # q,i chains (12)
+    @jax.jit
+    def s_both(ef, scale):
+        def loss(ef):
+            return jnp.sum(scatter16(ef * scale) ** 2)
+        l, g = jax.value_and_grad(loss)(ef.astype(jnp.bfloat16))
+        return l + 0 * jnp.sum(g.astype(jnp.float32))
+
+    rec("scatter_fwdbwd", timed(s_both, ef16),
+        _floor_ms(8 + 3.35 + 14, extra_bytes=3 * E * 4))
+
+    # --- fused interaction fwd+bwd, order 3 and order 1 (bf16):
+    # fwd: r 3E + w E = 4; bwd: r 3E (saved roles) + r E (cot) + w 3E = 7
+    mod3 = FeatureInteractor(3, D, D)
+    p3 = mod3.init(jax.random.key(0), roles16, fused_ok=True)
+    mod1 = FeatureInteractor(1, D, D)
+    p1 = mod1.init(jax.random.key(0), roles16, fused_ok=True)
+
+    def i_both(mod, params):
+        @jax.jit
+        def f(r0, r1, r2, params, scale):
+            def loss(r0, params):
+                out = mod.apply(params, (r0 * scale, r1, r2), fused_ok=True)
+                return jnp.sum((out * out).astype(jnp.float32))
+            l, (g0, gp) = jax.value_and_grad(loss, argnums=(0, 1))(r0, params)
+            return l + 0 * jnp.sum(g0.astype(jnp.float32))
+        return timed(f, *roles16, params)
+
+    rec("interact3_fwdbwd", i_both(mod3, p3), _floor_ms(11))
+    rec("interact1_fwdbwd", i_both(mod1, p1), _floor_ms(11))
+
+    # --- X0 embedding assembly fwd+bwd (routed word-bag backward)
+    from ihgnn_tpu.models.embedding import EmbeddingTables
+    emb = EmbeddingTables(user_count=U, item_count=I, vocab_size=V,
+                          embedding_size=D)
+    eparams = jax.jit(lambda k: emb.init(k, qwj, qcj,
+                                         method=emb.all_features_t)
+                      )(jax.random.key(2))
+
+    @jax.jit
+    def x0_both(eparams, qw, qc, bag, scale):
+        def loss(eparams):
+            x_t = emb.apply(eparams, qw, qc, bag=bag,
+                            method=emb.all_features_t)
+            return jnp.sum(x_t * x_t) * scale
+        l, g = jax.value_and_grad(loss)(eparams)
+        return l + 0 * sum(jnp.sum(v) for v in jax.tree.leaves(g))
+
+    # X0 moves ~[d, N] a few times; floor ~ 4 traversals of [d, N] f32
+    rec("x0_embed_fwdbwd", timed(x0_both, eparams, qwj, qcj, graph.bag),
+        4 * N * D * 4 / HBM * 1e3)
+
+    # --- whole-layer fwd+bwd (order 3 / order 1), bf16 streams: the
+    # composition target for the per-op rows above (+ transform + Dv)
+    for order, name in ((3, "layer_order3_fwdbwd"), (1, "layer_order1_fwdbwd")):
+        layer = IHGNNLayer(D, D, interaction_order=order, bf16_stream=True)
+        lp = jax.jit(layer.init)(jax.random.key(3), x, graph)
+
+        @jax.jit
+        def l_both(x, lp, g, scale, layer=layer):
+            def loss(x, lp):
+                out = layer.apply(lp, x * scale, g)
+                return jnp.sum(out * out)
+            l, (gx, gp) = jax.value_and_grad(loss, argnums=(0, 1))(x, lp)
+            return l + 0 * jnp.sum(gx)
+
+        parts = (comp["gather_fwdbwd"]["measured_ms"]
+                 + comp["scatter_fwdbwd"]["measured_ms"]
+                 + comp[f"interact{order}_fwdbwd"]["measured_ms"])
+        ms = timed(l_both, x, lp, graph)
+        rec(name, ms, _floor_ms(0))        # floor carried by the parts
+        comp[name]["sum_of_parts_ms"] = round(parts, 2)
+        print(f"  (sum of parts {parts:.2f} ms)", flush=True)
+
+    # --- full train step (bench configuration)
+    from ihgnn_tpu.data.dataset import Batch
+    from ihgnn_tpu.models.rawgnn import RawGnn
+    from ihgnn_tpu.train.train import init_state, make_optimizer, make_train_step
+
+    cfg = Config(model=ModelConfig(embedding_size=D, gnn_layer_count=2,
+                                   feature_interaction_order=3,
+                                   bf16_stream=True),
+                 train=TrainConfig(batch_size=1024,
+                                   random_negative_sample_size=10))
+    model = RawGnn(cfg=cfg.model, user_count=U, query_count=Q, item_count=I,
+                   vocab_size=V)
+    tx = make_optimizer(cfg)
+    state = init_state(model, jax.random.key(0), graph, qw, qc, cfg, tx)
+    B, K = 1024, 10
+    r = np.random.default_rng(7)
+    idx = r.integers(0, E, B)
+    rows = B * (1 + K)
+    users = np.zeros(rows, np.int32); users[:B] = uqif[idx, 0]
+    queries = np.zeros(rows, np.int32); queries[:B] = uqif[idx, 1]
+    items = np.zeros(rows, np.int32); items[:B] = uqif[idx, 2]
+    users[B:] = np.repeat(users[:B], K)
+    queries[B:] = np.repeat(queries[:B], K)
+    items[B:] = r.integers(0, I, B * K)
+    flags = np.zeros(rows, np.float32); flags[:B] = 1.0
+    batch = jax.device_put(Batch(users=users, queries=queries, items=items,
+                                 flags=flags,
+                                 weight=np.ones(rows, np.float32)))
+    step = make_train_step(model, graph, qw, qc, tx)
+    state, loss = step(state, batch)
+    _ = float(loss)
+    state, loss = step(state, batch)
+    _ = float(loss)
+    t0 = time.time()
+    iters = 15
+    for _ in range(iters):
+        state, loss = step(state, batch)
+    _ = float(loss)
+    step_ms = (time.time() - t0) / iters * 1e3
+    print(f"full_step {step_ms:.2f} ms", flush=True)
+
+    # --- summary
+    sum_parts = (comp["x0_embed_fwdbwd"]["measured_ms"]
+                 + comp["layer_order3_fwdbwd"]["measured_ms"]
+                 + comp["layer_order1_fwdbwd"]["measured_ms"])
+    sum_floors = (comp["x0_embed_fwdbwd"]["floor_ms"]
+                  + comp["gather_fwdbwd"]["floor_ms"] * 2
+                  + comp["scatter_fwdbwd"]["floor_ms"] * 2
+                  + comp["interact3_fwdbwd"]["floor_ms"]
+                  + comp["interact1_fwdbwd"]["floor_ms"])
+    out = {
+        "config": f"E={E} d={D} bf16_stream layers=2 (order 3 + 1)",
+        "components": comp,
+        "full_step_ms": round(step_ms, 2),
+        "sum_measured_components_ms": round(sum_parts, 2),
+        "composition_overhead_ms": round(step_ms - sum_parts, 2),
+        "sum_hbm_floors_ms": round(sum_floors, 2),
+        "kernel_headroom_ms": round(sum_parts - sum_floors, 2),
+        "step_over_sum_floors": round(step_ms / sum_floors, 2),
+        "step_over_sum_components": round(step_ms / sum_parts, 2),
+        "note": ("byte models are traversal counts of [d, E] bf16 arrays "
+                 "per kernel sequence (see inline comments); floors = "
+                 "bytes / 819 GB/s. 'composition overhead' is step minus "
+                 "the measured X0 + layer components — head/loss/Adam tail "
+                 "plus XLA scheduling between kernels."),
+    }
+    print(json.dumps(out, indent=1))
+    with open("/root/repo/docs/STEP_ACCOUNTING.json", "w") as fh:
+        json.dump(out, fh, indent=1)
+
+
+if __name__ == "__main__":
+    main()
