@@ -167,7 +167,7 @@ def _rlp(x, st):
     if st.kind == "bfly":
         return row_local_permute_bfly(x, st.tab)
     if st.kind == "hier":
-        return row_local_permute_hier(x, st.tab)
+        return row_local_permute_hier(x, st.tab, w=st.w)
     if int8_rlp_ok(*x.shape, x.dtype):
         # long-row flat stage: exact int8 byte-plane one-hot (2x MXU rate,
         # full M packing — 26 vs 47 ms/pass at the 10M-edge stress shape)

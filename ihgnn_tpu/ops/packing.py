@@ -109,6 +109,25 @@ def _route(perm: np.ndarray, rows: int, cols: int
     return tuple(np.asarray(p, np.int32) for p in routed)
 
 
+# hier block-width preference, widest first: W=256 (B=C/256 blocks)
+# measured faster than the original W=128 on-chip — the stage kernels are
+# matmul-issue/VPU-bound, not MXU-weight-load-bound, so halving the matmul
+# count and the exchange chain beats halving the one-hot depth
+# (docs/KERNELS.md round 3). Override for A/B probes via
+# ``IHGNN_HIER_W`` in the environment.
+HIER_W_PREF = (256, 128)
+
+
+def _pick_hier_w(length: int) -> Optional[int]:
+    import os
+    env = os.environ.get("IHGNN_HIER_W")
+    prefs = (int(env),) if env else HIER_W_PREF
+    for w in prefs:
+        if hier_eligible(length, w):
+            return w
+    return None
+
+
 def _stage_table(raw: np.ndarray) -> StageTable:
     """Pack one row-local stage table for the device kernels: route each
     row through the second-level [B, W] Clos when the row length allows it
@@ -121,14 +140,15 @@ def _stage_table(raw: np.ndarray) -> StageTable:
     data at all — so hier stays the default; bfly remains available for
     single-register (128-lane) uses like ops/pallas/segscan.py."""
     length = raw.shape[1]
-    if not hier_eligible(length):
+    w = _pick_hier_w(length)
+    if w is None:
         return StageTable(tab=jnp.asarray(raw, jnp.int32), kind="flat")
     from ihgnn_tpu.ops import native
-    packed = native.route_rows_hier(raw, HIER_W)
+    packed = native.route_rows_hier(raw, w)
     if packed is None:
         from ihgnn_tpu.ops.benes import route_rows_hier
-        packed = route_rows_hier(raw, HIER_W)
-    return StageTable(tab=jnp.asarray(packed), kind="hier")
+        packed = route_rows_hier(raw, w)
+    return StageTable(tab=jnp.asarray(packed), kind="hier", w=w)
 
 
 def _pad_perm(perm: np.ndarray, e_pad: int) -> np.ndarray:

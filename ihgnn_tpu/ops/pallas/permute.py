@@ -488,7 +488,7 @@ def row_local_permute_hier_int8(x: jnp.ndarray, packed: jnp.ndarray,
 HIER_W = 128
 
 
-def _hier_kernel(x_ref, p_ref, o_ref):
+def _hier_kernel(x_ref, p_ref, o_ref, *, w: int):
     """Block [d, ROWS, C] + packed hier tables [ROWS, C] → permuted block.
 
     Per row: stage A applies the in-block source shuffle (one [*, W]·[W, W]
@@ -498,9 +498,15 @@ def _hier_kernel(x_ref, p_ref, o_ref):
     the bf16 hi/lo split through the matmuls (recombined before the
     exchange so selects run at d rows, re-split for stage B); bf16 needs no
     split — stage A's f32 accumulation is an exact selection of bf16
-    values, so the bf16 round-trip between stages is lossless."""
+    values, so the bf16 round-trip between stages is lossless.
+
+    ``w`` is the second-level block width (any power of two ≤ 1024 the
+    10-bit packing allows). Wider blocks trade more MXU weight rows per
+    output for fewer matmul issues, smaller mask builds per element, and a
+    shorter exchange chain — W=256 measured faster than W=128 despite 2x
+    the one-hot depth (the kernels are issue/VPU-bound, not
+    weight-load-bound; docs/KERNELS.md round 3)."""
     d, rows, c = x_ref.shape
-    w = HIER_W
     b = c // w
     bf16_in = x_ref.dtype == jnp.bfloat16
     iota = jax.lax.broadcasted_iota(jnp.int32, (w, w), 0)
@@ -534,7 +540,7 @@ def _hier_kernel(x_ref, p_ref, o_ref):
                 acc, p2[bb * w:(bb + 1) * w])
 
 
-def _hier_big_kernel(x_ref, p_ref, o_ref, a0):
+def _hier_big_kernel(x_ref, p_ref, o_ref, a0, *, w: int = HIER_W):
     """Hier kernel for LONG rows (B = C/W > 16, up to 1024 via the 10-bit
     packing): the fully-unrolled exchange of ``_hier_kernel`` is O(B^2)
     statements per row — at stress scale (B = 77) that explodes Mosaic
@@ -551,7 +557,6 @@ def _hier_big_kernel(x_ref, p_ref, o_ref, a0):
 
     Same packed stage words as ``_hier_kernel``."""
     d, rows, c = x_ref.shape
-    w = HIER_W
     b = c // w
     bf16_in = x_ref.dtype == jnp.bfloat16
     iota = jax.lax.broadcasted_iota(jnp.int32, (w, w), 0)
@@ -597,18 +602,19 @@ def _hier_big_kernel(x_ref, p_ref, o_ref, a0):
     jax.lax.fori_loop(0, b, phase_b, 0, unroll=False)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "w"))
 def row_local_permute_hier(x: jnp.ndarray, packed: jnp.ndarray,
-                           interpret: bool = False) -> jnp.ndarray:
+                           interpret: bool = False,
+                           w: int = HIER_W) -> jnp.ndarray:
     """x: [d, R, C]; packed hier tables [R, C] int32 (route_rows_hier) →
     out[:, r, c] = x[:, r, full_perm[r, c]]."""
     d, r, c = x.shape
     assert packed.shape == (r, c), (packed.shape, x.shape)
     rows = _rlp_rows(d, r, c, x.dtype)
-    assert r % rows == 0 and c % HIER_W == 0, (r, c)
-    big = c // HIER_W > 16
+    assert r % rows == 0 and c % w == 0, (r, c, w)
+    big = c // w > 16
     return pl.pallas_call(
-        _hier_big_kernel if big else _hier_kernel,
+        functools.partial(_hier_big_kernel if big else _hier_kernel, w=w),
         grid=(r // rows,),
         in_specs=[
             pl.BlockSpec((d, rows, c), lambda i: (0, i, 0),
@@ -914,7 +920,7 @@ def unpack_bfly_perm(words: jnp.ndarray, w: int = HIER_W) -> jnp.ndarray:
 def unpack_stage_perm(st: "StageTable") -> jnp.ndarray:
     """Full per-row permutation of any StageTable packing (XLA twins)."""
     if st.kind == "hier":
-        return unpack_hier_perm(st.tab)
+        return unpack_hier_perm(st.tab, st.w)
     if st.kind == "bfly":
         return unpack_bfly_perm(st.tab)
     return st.tab
@@ -925,16 +931,17 @@ class StageTable:
     """One row-local stage table, in one of three packings:
 
     * kind="flat" — raw per-row permutation, one-hot MXU kernel
-    * kind="hier" — packed hierarchical Clos word (p0|s|p2), 2x128-deep
-      one-hot MXU kernel
+    * kind="hier" — packed hierarchical Clos word (p0|s|p2), two
+      ``w``-deep one-hot MXU levels + a C/w-way exchange
     * kind="bfly" — packed butterfly word (ops/bfly.py), pure-VPU
       roll+select kernel (preferred: exact in all dtypes, ~5x less
       compute than the one-hots at d=32)
 
-    ``kind`` is trace-static (not a pytree leaf) so kernel dispatch stays
-    a Python branch under jit."""
+    ``kind`` and ``w`` are trace-static (not pytree leaves) so kernel
+    dispatch stays a Python branch under jit."""
     tab: Any                                   # [R, C] int32
     kind: str = struct.field(pytree_node=False, default="flat")
+    w: int = struct.field(pytree_node=False, default=HIER_W)
 
     @property
     def hier(self) -> bool:

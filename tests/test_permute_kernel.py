@@ -192,3 +192,27 @@ def test_row_local_permute_hier_int8_exact(dtype):
     view = np.uint16 if dtype == jnp.bfloat16 else np.uint32
     np.testing.assert_array_equal(np.asarray(out).view(view),
                                   want.view(view))
+
+
+@pytest.mark.parametrize("w", [256, 512])
+def test_row_local_permute_hier_wide_blocks(w):
+    """W-parametric hier kernel (round 3): wider second-level blocks give
+    fewer matmul issues + shorter exchanges; parity vs the direct gather
+    must hold for every supported W (both routing impls)."""
+    from ihgnn_tpu.ops import native
+    rng = np.random.default_rng(w)
+    d, r, c = 8, 16, 1024
+    assert hier_eligible(c, w)
+    perms = np.stack([rng.permutation(c) for _ in range(r)]).astype(np.int32)
+    for packed in filter(
+            lambda p: p is not None,
+            [route_rows_hier(perms, w),
+             native.route_rows_hier(perms, w)]):
+        assert (unpack_hier_rows(packed, w) == perms).all()
+        x = rng.standard_normal((d, r, c)).astype(np.float32)
+        xj = jnp.asarray(x, jnp.bfloat16)
+        ref = np.take_along_axis(np.asarray(xj, np.float32), perms[None],
+                                 axis=2)
+        out = row_local_permute_hier(xj, jnp.asarray(packed),
+                                     interpret=True, w=w)
+        np.testing.assert_array_equal(np.asarray(out, np.float32), ref)

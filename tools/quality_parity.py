@@ -33,7 +33,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def run_ours(dataset, epochs, seed, emb):
+def run_ours(dataset, epochs, seed, emb, model="rawgnn"):
     """One CLI run on CPU; returns best-valid-epoch test metrics."""
     code = f"""
 import jax, json
@@ -41,8 +41,8 @@ jax.config.update('jax_platforms', 'cpu')
 from ihgnn_tpu.cli import main
 mc = main(['--dataset', {dataset!r}, '--epoch_count', '{epochs}',
            '--epoch_start_test', '10', '--epoch_test_frequency', '5',
-           '--seed', '{seed}', '--emb', '{emb}',
-           '--result_dir', '/tmp/parity_ours_{seed}'])
+           '--seed', '{seed}', '--emb', '{emb}', '--model', {model!r},
+           '--result_dir', '/tmp/parity_ours_{model}_{seed}'])
 epoch, test, valid = mc.get_valid_best(lambda m: m.NDCG_at10)
 print('PARITY_RESULT ' + json.dumps({{
     'epoch': epoch,
@@ -59,9 +59,11 @@ print('PARITY_RESULT ' + json.dumps({{
     return json.loads(line.split(" ", 1)[1])
 
 
-def run_replay(dataset, epochs, seed, emb):
+def run_replay(dataset, epochs, seed, emb, model="rawgnn"):
+    script = ("reference_replay.py" if model == "rawgnn"
+              else "srrl_replay.py")
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "tools", "reference_replay.py"),
+        [sys.executable, os.path.join(REPO, "tools", script),
          "--dataset", dataset, "--epochs", str(epochs), "--seed", str(seed),
          "--emb", str(emb), "--eval_every", "5"],
         capture_output=True, text=True, cwd=REPO, timeout=7200)
@@ -80,6 +82,9 @@ def main():
     ap.add_argument("--emb", type=int, default=32)
     ap.add_argument("--out", default=os.path.join(REPO, "PARITY.json"))
     ap.add_argument("--fresh_dataset", action="store_true")
+    ap.add_argument("--model", default="rawgnn", choices=("rawgnn", "srrl"),
+                    help="which model family to compare; results merge "
+                         "into --out under a per-model section")
     args = ap.parse_args()
 
     if args.fresh_dataset or not os.path.isdir(args.dataset):
@@ -94,11 +99,11 @@ def main():
     rows = {"ours": [], "replay": []}
     for seed in range(args.seeds):
         t0 = time.time()
-        r = run_ours(args.dataset, args.epochs, seed, args.emb)
+        r = run_ours(args.dataset, args.epochs, seed, args.emb, args.model)
         print(f"ours seed {seed}: {r} ({time.time()-t0:.0f}s)", flush=True)
         rows["ours"].append(r)
         t0 = time.time()
-        r = run_replay(args.dataset, args.epochs, seed, args.emb)
+        r = run_replay(args.dataset, args.epochs, seed, args.emb, args.model)
         print(f"replay seed {seed}: {r} ({time.time()-t0:.0f}s)", flush=True)
         rows["replay"].append(r)
 
@@ -110,10 +115,19 @@ def main():
     for impl in ("ours", "replay"):
         summary[impl] = {k: stats(rows[impl], k)
                          for k in ("hr", "ndcg", "map", "mrr")}
-    result = {"dataset": args.dataset, "seeds": args.seeds,
-              "epochs": args.epochs, "runs": rows, "summary": summary}
+    section = {"dataset": args.dataset, "seeds": args.seeds,
+               "epochs": args.epochs, "runs": rows, "summary": summary}
+    # merge per-model sections so rawgnn + srrl coexist in one PARITY.json
+    # (legacy round-2 layout = a bare rawgnn section)
+    existing = {}
+    if os.path.exists(args.out):
+        with open(args.out) as fh:
+            existing = json.load(fh)
+        if "summary" in existing:                    # legacy flat layout
+            existing = {"rawgnn": existing}
+    existing[args.model] = section
     with open(args.out, "w") as fh:
-        json.dump(result, fh, indent=1)
+        json.dump(existing, fh, indent=1)
 
     print("\n| impl | HR@10 | NDCG@10 | MAP@10 | MRR@10 |")
     print("|---|---|---|---|---|")
