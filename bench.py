@@ -40,7 +40,8 @@ def build_bench_graph(user_count, query_count, item_count, edge_count, seed=0):
 
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              ".cache")
-    key = f"benchgraph_u{user_count}_q{query_count}_i{item_count}" \
+    # v3: σ-order packs + W-parametric hier tables (round 3)
+    key = f"benchgraph_v3_u{user_count}_q{query_count}_i{item_count}" \
           f"_e{edge_count}_s{seed}.pkl"
     path = os.path.join(cache_dir, key)
     if os.path.exists(path):

@@ -14,6 +14,7 @@ Re-design of SrrlDataset.py:
 
 from __future__ import annotations
 
+import itertools
 from typing import Dict, List, Tuple
 
 import numpy as np
@@ -70,6 +71,26 @@ class SrrlKGSampler:
         self._weights = np.asarray(
             [np.sqrt(1.0 / self.mp.head_query_frequency[(u, q)])
              for u, q, _ in self.mp.positive_interactions], np.float32)
+        # per-mode shuffled epoch walks: the reference wraps each mode's
+        # SrrlDatasetKG in DataLoader(shuffle=True) cycled forever
+        # (OneShotIterator, SrrlDataset.py:190-213) — every triple appears
+        # once per mode-epoch. Uniform-with-replacement draws (round 2)
+        # cover only ~63% of triples per epoch and measurably lag the
+        # reference at matched epochs.
+        self._walk = {m: iter(()) for m in KG_MODES}
+
+    def _next_idx(self, mode) -> np.ndarray:
+        out = np.empty(self.batch_size, np.int64)
+        have = 0
+        while have < self.batch_size:
+            take = list(itertools.islice(self._walk[mode],
+                                         self.batch_size - have))
+            out[have:have + len(take)] = take
+            have += len(take)
+            if have < self.batch_size:
+                self._walk[mode] = iter(
+                    self.rng.permutation(len(self._triples)))
+        return out
 
     @property
     def steps_per_epoch(self) -> int:
@@ -82,7 +103,7 @@ class SrrlKGSampler:
         mode = KG_MODES[self.step_count % 3]
         self.step_count += 1
 
-        idx = self.rng.integers(0, len(self._triples), self.batch_size)
+        idx = self._next_idx(mode)
         triples = self._triples[idx].astype(np.int32)
         weights = self._weights[idx]
         if self.only_random:

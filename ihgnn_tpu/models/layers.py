@@ -182,6 +182,15 @@ class IHGNNLayer(nn.Module):
             # nodes (id = edge + N) to their member nodes; incidence arrays
             # are already sorted by member node = destination
             # (GnnLayers.py:200-216,227-230). Row-major internally.
+            # σ packs hold edge features in a row-local scramble of edge
+            # order — re-label before indexing by edge id. Only when the
+            # Pallas pack actually produced edge_t (XLA fallback keeps
+            # true edge order).
+            kp = getattr(graph, "kp", None)
+            if (use_pallas(graph) and kp is not None
+                    and getattr(kp, "sigma", False)):
+                from ihgnn_tpu.ops.hyperagg import sigma_to_edge_order
+                edge_t = sigma_to_edge_order(edge_t, kp)[:, :graph.edge_count]
             n, e = graph.node_count, graph.edge_count
             both = jnp.concatenate([x_t.T, edge_t.T.astype(x_t.dtype)],
                                    axis=0)                      # [N+E, d]

@@ -196,8 +196,9 @@ def _rlp_bt(x, st):
 
 
 def _role_forward(x_pad, rp, rows, cols):
-    """Role features in edge order: (expand∘stage0, transposed) fused, then
-    (p1·T) fused, then p2 — 3 kernels, each one HBM round-trip."""
+    """Role features in edge order (σ order when rp.fwd_p2 is None — the
+    q role of a σ pack): (expand∘stage0, transposed) fused, then (p1·T)
+    fused, then p2 — 3 kernels, each one HBM round-trip (2 for σ-q)."""
     d = x_pad.shape[0]
     ep = rp.gather
     # the fused kernel transposes the EXPAND grid, which matches the stage
@@ -212,6 +213,8 @@ def _role_forward(x_pad, rp, rows, cols):
     else:
         t0 = _bt(_expand(x_pad, ep).reshape(d, rows, cols))
     t1 = _rlp_bt(t0, rp.fwd_p1)
+    if rp.fwd_p2 is None:                       # σ q role: stop at t1
+        return t1.reshape(d, rows * cols)
     out = _rlp(t1, rp.fwd_p2)
     return out.reshape(d, rows * cols)
 
@@ -219,11 +222,40 @@ def _role_forward(x_pad, rp, rows, cols):
 def _permute_to_t1(y, rp, rows, cols):
     """Edge order → pre-stage-2 ("t1") role-rank order ([d, E_pad]). The
     final Clos stage is absorbed into the segment-sum ids (packing.py), so
-    only (p0·T fused) · (p1·T fused) run on device — 2 HBM passes."""
+    only (p0·T fused) · (p1·T fused) run on device — 2 HBM passes.
+    Non-σ packs only."""
     d = y.shape[0]
     t0 = _rlp_bt(y.reshape(d, rows, cols), rp.bwd_p0)
     t1 = _rlp_bt(t0, rp.bwd_p1)
     return t1.reshape(d, rows * cols)
+
+
+def _sig_inverse(y, rp, rows, cols):
+    """σ order → stage-0 rank order ([d, E_pad]): [inv_p2 (i role only)]
+    · T · inv_p1 · T; the trailing stage-0⁻¹ is absorbed into the
+    segment-sum ids (packing.py σ layout). σ packs only."""
+    d = y.shape[0]
+    g = y.reshape(d, rows, cols)
+    if rp.inv_p2 is not None:
+        g = _rlp(g, rp.inv_p2)
+    out = _rlp_bt(_bt(g), rp.inv_p1)            # [d, C, R] → [d, R, C]
+    return out.reshape(d, rows * cols)
+
+
+def _to_rank_blocks(y, rp, rows, cols, sigma):
+    return (_sig_inverse(y, rp, rows, cols) if sigma
+            else _permute_to_t1(y, rp, rows, cols))
+
+
+def sigma_to_edge_order(edge_t, kp):
+    """Re-label a σ-ordered edge stream into TRUE edge order (the q-role's
+    final Clos stage) — for consumers indexing edges by id (phase-2
+    attention over the incidence)."""
+    if not getattr(kp, "sigma", False):
+        return edge_t
+    d = edge_t.shape[0]
+    out = _rlp(edge_t.reshape(d, kp.rows, kp.cols), kp.sig_stage)
+    return out.reshape(d, kp.rows * kp.cols)
 
 
 def _segsum_regions(region_u, region_q_t1, region_i_t1, kp):
@@ -239,7 +271,8 @@ def _segsum_regions(region_u, region_q_t1, region_i_t1, kp):
         ids_c = jnp.where(valid, ids, 0)
         return jax.ops.segment_sum(vals_m.T, ids_c, num_segments=kp.n).T
     return csr_segment_sum_t(vals, kp.ids2d, kp.tile_ptr, kp.n,
-                             out_transposed=True)
+                             out_transposed=True,
+                             block=getattr(kp, "seg_block", 1024))
 
 
 def _gather_impl(x_pad, kp):
@@ -250,8 +283,8 @@ def _gather_impl(x_pad, kp):
 
 
 def _scatter_impl(edge_t, kp):
-    region_q = _permute_to_t1(edge_t, kp.q, kp.rows, kp.cols)
-    region_i = _permute_to_t1(edge_t, kp.i, kp.rows, kp.cols)
+    region_q = _to_rank_blocks(edge_t, kp.q, kp.rows, kp.cols, kp.sigma)
+    region_i = _to_rank_blocks(edge_t, kp.i, kp.rows, kp.cols, kp.sigma)
     return _segsum_regions(edge_t, region_q, region_i, kp)
 
 
@@ -271,8 +304,8 @@ def _gather_fwd(x_pad, kp):
 
 def _gather_bwd(kp, cot):
     cu, cq, ci = cot
-    cot_q = _permute_to_t1(cq, kp.q, kp.rows, kp.cols)
-    cot_i = _permute_to_t1(ci, kp.i, kp.rows, kp.cols)
+    cot_q = _to_rank_blocks(cq, kp.q, kp.rows, kp.cols, kp.sigma)
+    cot_i = _to_rank_blocks(ci, kp.i, kp.rows, kp.cols, kp.sigma)
     grad = _segsum_regions(cu, cot_q, cot_i, kp)        # f32 accumulation
     # gather is dtype-preserving, so the primal x_pad dtype == cot dtype
     grad = jnp.pad(grad.astype(cu.dtype), ((0, 0), (0, kp.src_pad - kp.n)))
@@ -304,14 +337,18 @@ def _scatter_bwd(res, cot):
             + _role_forward(cot_pad, kp.q, kp.rows, kp.cols)
             + _role_forward(cot_pad, kp.i, kp.rows, kp.cols))
     if kp.e_pad != kp.e:
-        # tail columns are padding, not edges: their expansion values are
+        # padding positions are not edges: their expansion values are
         # repeats of real node cotangents and must not leak into the
         # edge-feature gradient (they would pollute interactor weight
-        # grads through the full-width matmuls)
-        d = grad.shape[0]
-        grad = jnp.concatenate(
-            [grad[:, :kp.e], jnp.zeros((d, kp.e_pad - kp.e), grad.dtype)],
-            axis=1)
+        # grads through the full-width matmuls). σ packs interleave pads
+        # within rows, so the zeroing is a mask, not a tail slice.
+        if kp.sigma:
+            grad = grad * kp.sig_mask.astype(grad.dtype)
+        else:
+            d = grad.shape[0]
+            grad = jnp.concatenate(
+                [grad[:, :kp.e],
+                 jnp.zeros((d, kp.e_pad - kp.e), grad.dtype)], axis=1)
     return grad, _f0_tree(kp)
 
 

@@ -66,6 +66,7 @@ class ExpandPack:
 class RolePack:
     """Per-role (q/i) operands.
 
+    Non-σ layout (sharded packs, 2D role SpMM):
     fwd (role-sorted → edge order, used by gather-forward and
     scatter-backward): ``gather`` composes expand∘stage0; then
     T, fwd_p1, T, fwd_p2.
@@ -74,12 +75,25 @@ class RolePack:
     consumed at pack time by storing the segment-sum ids in pre-p2
     ("t1") order, which the segsum kernel tolerates because stage 2 only
     shuffles within rows contained in its DMA blocks.
+
+    σ layout (single-chip hyper packs, ``HyperKernelPack.sigma``): the
+    interaction runs in the q-role's PRE-p2 state σ (a row-local scramble
+    of edge order), so the whole q round-trip drops its final Clos stage
+    in BOTH directions — see build_hyper_kernel_pack. Then:
+    fwd (rank → σ): gather (expand∘stage0), T, fwd_p1 [, fwd_p2 — i role
+    only, composed with the σ re-label]; fwd_p2 is None for q.
+    inv (σ → rank order, used by scatter-forward and gather-backward):
+    [inv_p2 — i role only], T, inv_p1, T; the leading stage-0⁻¹ is
+    consumed by storing segment-sum ids in stage-0 order (same in-block
+    tolerance as above). inv_* are None in the non-σ layout.
     """
     gather: ExpandPack
     fwd_p1: StageTable                         # [C, R]
-    fwd_p2: StageTable                         # [R, C]
-    bwd_p0: StageTable                         # [R, C]
-    bwd_p1: StageTable                         # [C, R]
+    fwd_p2: StageTable                         # [R, C]; None for σ q role
+    bwd_p0: StageTable                         # [R, C]; None in σ layout
+    bwd_p1: StageTable                         # [C, R]; None in σ layout
+    inv_p1: StageTable = None                  # [C, R]; σ layout only
+    inv_p2: StageTable = None                  # [R, C]; σ i role only
 
 
 @struct.dataclass
@@ -90,6 +104,16 @@ class HyperKernelPack:
     i: RolePack
     ids2d: Any                                 # [K_pad/128, 128] int32
     tile_ptr: Any                              # [T+1] int32
+    # σ layout only: validity of each σ position (pad edges interleave
+    # within rows, so tails can't be sliced/zeroed positionally); None
+    # when e == e_pad. [1, e_pad] f32.
+    sig_mask: Any = None
+    # σ layout only: the q-role's final Clos stage (σ → edge order), for
+    # consumers that need TRUE edge order (phase-2 attention).
+    sig_stage: StageTable = None
+    # segsum DMA-block size: = max(1024, cols) so Clos-stage absorption
+    # stays within blocks (ops/pallas/segsum.py)
+    seg_block: int = struct.field(pytree_node=False, default=1024)
     e: int = struct.field(pytree_node=False, default=0)       # true E
     n: int = struct.field(pytree_node=False, default=0)       # node count
     e_pad: int = struct.field(pytree_node=False, default=0)   # R*C
@@ -97,6 +121,11 @@ class HyperKernelPack:
     cols: int = struct.field(pytree_node=False, default=0)
     src_pad: int = struct.field(pytree_node=False, default=0)  # node pad
     k_pad: int = struct.field(pytree_node=False, default=0)    # segsum pad
+    # σ layout: the interaction/aggregation streams run in the q-role's
+    # pre-p2 order instead of edge order (row-local relabeling; free for
+    # the u expansion and the segment-sum ids, saves the q round-trip's
+    # final Clos stage in both directions)
+    sigma: bool = struct.field(pytree_node=False, default=False)
 
 
 def _route(perm: np.ndarray, rows: int, cols: int
@@ -219,7 +248,18 @@ def _role_pack(role_ids: np.ndarray, order: np.ndarray, rank: np.ndarray,
     return rp, ids_t1.reshape(-1).astype(np.int32), sorted_ids
 
 
-def build_hyper_kernel_pack(i3: np.ndarray, node_count: int, cols: int = 1024
+def _row_inverse(p: np.ndarray) -> np.ndarray:
+    """Per-row inverse of a [NR, L] row-permutation table."""
+    nr, length = p.shape
+    inv = np.empty_like(p)
+    np.put_along_axis(inv, np.asarray(p, np.int64),
+                      np.broadcast_to(np.arange(length, dtype=p.dtype),
+                                      (nr, length)), axis=1)
+    return inv
+
+
+def build_hyper_kernel_pack(i3: np.ndarray, node_count: int,
+                            cols: int = 1024, sigma: bool = True
                             ) -> Optional[HyperKernelPack]:
     """Pack a HyperGraph's structure for the Pallas pipeline, or None when
     any banded-gather row exceeds W_CAP (XLA fallback).
@@ -230,21 +270,171 @@ def build_hyper_kernel_pack(i3: np.ndarray, node_count: int, cols: int = 1024
     expand fusions require Clos rows to nest inside the 1024-entry segsum
     DMA blocks / expand rows. (The 2D-graph role pack, which has neither
     fusion, uses c=2048 at scale — graph.py.)
+
+    ``sigma``: run the interaction pipeline in the q-role's PRE-final-
+    stage order σ instead of edge order. σ differs from edge order by a
+    row-local scramble, which is FREE to compose into the u-role's
+    windowed-expand index table and into the segment-sum id layout
+    (in-block order tolerance), so the q role drops its final Clos stage
+    in BOTH directions — 4 stage passes saved per layer fwd+bwd. The
+    sharded packs keep sigma=False (they slice exact-e edge tails, which
+    σ interleaves into rows).
+
+    Long-row grids: past ~4M edges the default C=1024 grid gives the
+    middle ([C, R]) stage rows of E/1024 lanes (9856 at the 10M-edge
+    stress config) — flat-one-hot cost grows linearly with row length, so
+    the grid widens to C=2048 (squarer: halves the long dimension). The
+    absorption fusions then need 2048-entry segment-sum DMA blocks and
+    2048-wide expand rows (seg_block / EXPAND_COLS scale with cols).
     """
     e = i3.shape[0]
     if e == 0:
         return None
+    if e >= 4_000_000:
+        cols = max(cols, 2048)
     rows, cols = pick_grid(e, cols)
     e_pad = rows * cols
+    exp_cols = max(EXPAND_COLS, cols)
+    seg_block = max(1024, cols)
 
-    from ihgnn_tpu.ops.pallas.segsum import BLOCK, TILE_N
+    from ihgnn_tpu.ops.pallas.segsum import TILE_N
     # the stage-2-into-segsum fusion requires Clos rows to nest inside the
     # segsum DMA blocks (within-block shuffles are order-transparent)
-    assert cols <= BLOCK and BLOCK % cols == 0, (cols, BLOCK)
+    assert cols <= seg_block and seg_block % cols == 0, (cols, seg_block)
     # stage-0-into-expand fusion requires Clos rows to nest inside the
     # (wider) windowed-gather rows
-    assert cols <= EXPAND_COLS and EXPAND_COLS % cols == 0, cols
+    assert cols <= exp_cols and exp_cols % cols == 0, cols
 
+    if not sigma:
+        return _build_pack_edge_order(i3, node_count, rows, cols)
+
+    sent = 2**31 - 1
+    try:
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            u_ids = np.asarray(i3[:, 0], np.int64)
+            u_pad = np.concatenate([u_ids, np.full(e_pad - e, u_ids[-1])])
+
+            # route rank→edge for q and i (σ needs NO inverse routing:
+            # the inverse chains reuse row-inverted forward tables)
+            stages, sorted_role, sorted_pad = {}, {}, {}
+            futs = {}
+            for name, col_idx in (("q", 1), ("i", 2)):
+                ids = np.asarray(i3[:, col_idx], np.int64)
+                order = np.argsort(ids, kind="stable")
+                rank = np.empty(e, np.int64)
+                rank[order] = np.arange(e)
+                futs[name] = pool.submit(_route, _pad_perm(rank, e_pad),
+                                         rows, cols)
+                s = ids[order]
+                sorted_role[name] = s
+                sorted_pad[name] = np.concatenate(
+                    [s, np.full(e_pad - e, s[-1] if e else 0, s.dtype)])
+            f_q = futs["q"].result()
+            f_i = futs["i"].result()
+
+            # σ relabeling: σ position (r, j) holds edge (r, p2q_inv[r, j])
+            p2q = np.asarray(f_q[2], np.int64)
+            p2q_inv = _row_inverse(p2q)
+            esig = (np.arange(rows, dtype=np.int64)[:, None] * cols
+                    + p2q_inv)                                   # [R, C]
+
+            # u role: expansion composed with the σ relabeling (same id
+            # set per row → identical windows)
+            up = pack_windows(u_pad[esig.reshape(-1)]
+                              .reshape(-1, exp_cols), w_cap=W_CAP)
+
+            # i role: final stage composed with the σ relabeling
+            p2i = np.take_along_axis(np.asarray(f_i[2], np.int64), p2q_inv,
+                                     axis=1)
+
+            def gather_pack(name, f0):
+                idx = np.take_along_axis(
+                    sorted_pad[name].reshape(rows, cols),
+                    np.asarray(f0, np.int64), axis=1)
+                return pack_windows(idx.reshape(-1, exp_cols),
+                                    w_cap=W_CAP)
+            gp_q = gather_pack("q", f_q[0])
+            gp_i = gather_pack("i", f_i[0])
+
+            st = {k: pool.submit(_stage_table, t) for k, t in {
+                "q_p1": f_q[1], "q_p1i": _row_inverse(np.asarray(f_q[1])),
+                "i_p1": f_i[1], "i_p1i": _row_inverse(np.asarray(f_i[1])),
+                "i_p2": p2i, "i_p2i": _row_inverse(p2i),
+                "sig": p2q,
+            }.items()}
+
+            def as_expand(gp):
+                return ExpandPack(idx=gp.idx_rel, win=gp.win, w=gp.w,
+                                  src_pad=gp.src_pad)
+
+            q_pack = RolePack(gather=as_expand(gp_q),
+                              fwd_p1=st["q_p1"].result(), fwd_p2=None,
+                              bwd_p0=None, bwd_p1=None,
+                              inv_p1=st["q_p1i"].result(), inv_p2=None)
+            i_pack = RolePack(gather=as_expand(gp_i),
+                              fwd_p1=st["i_p1"].result(),
+                              fwd_p2=st["i_p2"].result(),
+                              bwd_p0=None, bwd_p1=None,
+                              inv_p1=st["i_p1i"].result(),
+                              inv_p2=st["i_p2i"].result())
+    except ValueError:
+        return None
+
+    # segment-sum ids: regions [u | q | i], each e_pad wide. The inverse
+    # chains end one row-local stage EARLY; that stage is absorbed by
+    # storing ids in the corresponding scrambled order (all scrambles stay
+    # inside cols-rows ⊂ 1024-entry segsum blocks):
+    #   u region: values arrive in σ order → ids at esig positions
+    #   q/i regions: values arrive in stage-0 order → ids at f0 positions
+    def region_ids(name, f0):
+        ids_final = np.concatenate([
+            sorted_role[name], np.full(e_pad - e, sent, np.int64)])
+        return np.take_along_axis(ids_final.reshape(rows, cols),
+                                  np.asarray(f0, np.int64),
+                                  axis=1).reshape(-1).astype(np.int32)
+
+    u_region = np.where(esig.reshape(-1) < e,
+                        u_pad[np.minimum(esig.reshape(-1), e - 1)],
+                        sent).astype(np.int32)
+    ids_all = np.concatenate([u_region, region_ids("q", f_q[0]),
+                              region_ids("i", f_i[0])])
+    k_pad = 3 * e_pad
+
+    n_tiles = _round_up(max(node_count, 1), TILE_N) // TILE_N
+    bounds = np.arange(0, (n_tiles + 1) * TILE_N, TILE_N)
+    pu = np.searchsorted(u_ids, bounds)
+    pq = np.searchsorted(sorted_role["q"], bounds)
+    pi = np.searchsorted(sorted_role["i"], bounds)
+    tile_ptr = np.where(pu < e, pu,
+                        np.where(pq < e, e_pad + pq,
+                                 2 * e_pad + pi)).astype(np.int32)
+
+    src_pad = max(up.src_pad, gp_q.src_pad, gp_i.src_pad,
+                  _round_up(node_count, CHUNK))
+    sig_mask = None
+    if e != e_pad:
+        sig_mask = jnp.asarray((esig.reshape(1, -1) < e)
+                               .astype(np.float32))
+    return HyperKernelPack(
+        u_expand=ExpandPack(idx=up.idx_rel, win=up.win, w=up.w,
+                            src_pad=up.src_pad),
+        q=q_pack, i=i_pack,
+        ids2d=jnp.asarray(ids_all.reshape(-1, 128)),
+        tile_ptr=jnp.asarray(tile_ptr),
+        sig_mask=sig_mask, sig_stage=st["sig"].result(),
+        seg_block=seg_block,
+        e=e, n=int(node_count), e_pad=e_pad, rows=rows, cols=cols,
+        src_pad=src_pad, k_pad=k_pad, sigma=True,
+    )
+
+
+def _build_pack_edge_order(i3: np.ndarray, node_count: int, rows: int,
+                           cols: int) -> Optional[HyperKernelPack]:
+    """The non-σ (edge-order) pack — used by the sharded per-shard packs,
+    whose exact-e tail slicing needs pads at the END of the edge axis."""
+    from ihgnn_tpu.ops.pallas.segsum import TILE_N
+    e = i3.shape[0]
+    e_pad = rows * cols
     try:
         with ThreadPoolExecutor(max_workers=4) as pool:
             u_ids = np.asarray(i3[:, 0], np.int64)
@@ -332,8 +522,10 @@ def build_sharded_hyper_pack(i3: np.ndarray, node_count: int, n_shards: int,
     es = e // n_shards
     packs = []
     for s in range(n_shards):
+        # sigma=False: the sharded bodies slice exact-e edge tails, which
+        # the σ relabeling interleaves into rows (see build_hyper_kernel_pack)
         kp = build_hyper_kernel_pack(i3[s * es:(s + 1) * es], node_count,
-                                     cols)
+                                     cols, sigma=False)
         if kp is None:
             return None
         packs.append(kp)

@@ -36,8 +36,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 TILE_N = 128    # segment rows per program (output tile height)
 SUB = 128       # entries per one-hot matmul
-BLOCK = 1024    # entries per DMA block (= 8 * SUB)
-NSUB = BLOCK // SUB
+# Default entries per DMA block. Larger packs may use a bigger block (a
+# static per-call parameter): the Clos-stage-into-ids fusion requires
+# stage rows to nest inside blocks, so cols=2048 grids (stress scale,
+# where squarer grids halve the long-row stage cost) need block=2048.
+# Small-N graphs keep 1024 — every tile scans whole blocks, so block
+# size is boundary waste when entries-per-tile ~ block.
+BLOCK = 1024
+NSUB = BLOCK // SUB     # sub-chunks per default block (segscan.py)
 NBUF = 4        # DMA pipeline depth (blocks in flight)
 
 
@@ -59,14 +65,14 @@ def pack_csr_tiles(segment_ids: np.ndarray, num_segments: int,
     return tile_ptr, n_pad
 
 
-def _make_segsum_kernel(out_transposed: bool):
+def _make_segsum_kernel(out_transposed: bool, block: int):
     def kernel(*args):
-        _segsum_kernel(*args, out_transposed=out_transposed)
+        _segsum_kernel(*args, out_transposed=out_transposed, block=block)
     return kernel
 
 
 def _segsum_kernel(tile_ptr_ref, values_t_hbm, ids_hbm, out_ref, acc, vbuf,
-                   nbuf, sems, ctr, out_transposed=False):
+                   nbuf, sems, ctr, out_transposed=False, block=BLOCK):
     """Streaming variant: the entry stream is consumed in order across the
     whole grid, so the DMA pipeline is GLOBAL — two SMEM counters
     (next-unfetched block, next-unwaited block) persist across grid
@@ -75,14 +81,15 @@ def _segsum_kernel(tile_ptr_ref, values_t_hbm, ids_hbm, out_ref, acc, vbuf,
     programs pays a full DMA latency on its first (usually only) block —
     which dominated the kernel (~2 us x 5.5k tiles on v5e at 6M entries).
     """
+    nsub = block // SUB
     t = pl.program_id(0)
     start = tile_ptr_ref[t]
     end = tile_ptr_ref[t + 1]
     node_base = t * TILE_N
-    total_blocks = ids_hbm.shape[0] // NSUB
+    total_blocks = ids_hbm.shape[0] // nsub
 
-    g0 = start // BLOCK
-    g1 = jnp.where(end > start, (end - 1) // BLOCK, g0 - 1)   # inclusive
+    g0 = start // block
+    g1 = jnp.where(end > start, (end - 1) // block, g0 - 1)   # inclusive
 
     @pl.when(t == 0)
     def _():
@@ -92,12 +99,12 @@ def _segsum_kernel(tile_ptr_ref, values_t_hbm, ids_hbm, out_ref, acc, vbuf,
     def dmas(g):
         return (
             pltpu.make_async_copy(
-                values_t_hbm.at[:, pl.ds(pl.multiple_of(g * BLOCK, BLOCK),
-                                         BLOCK)],
+                values_t_hbm.at[:, pl.ds(pl.multiple_of(g * block, block),
+                                         block)],
                 vbuf.at[jax.lax.rem(g, NBUF)],
                 sems.at[jax.lax.rem(g, NBUF), 0]),
             pltpu.make_async_copy(
-                ids_hbm.at[pl.ds(g * NSUB, NSUB), :],
+                ids_hbm.at[pl.ds(g * nsub, nsub), :],
                 nbuf.at[jax.lax.rem(g, NBUF)],
                 sems.at[jax.lax.rem(g, NBUF), 1]),
         )
@@ -130,7 +137,7 @@ def _segsum_kernel(tile_ptr_ref, values_t_hbm, ids_hbm, out_ref, acc, vbuf,
         ctr[1] = jnp.maximum(waited, g + 1)
 
         slot = jax.lax.rem(g, NBUF)
-        for j in range(NSUB):
+        for j in range(nsub):
             nodes = nbuf[slot][j].reshape(1, SUB)
             # node-range filtering (no positional mask): entries whose node
             # falls outside this tile — neighbors' shares of boundary
@@ -189,11 +196,12 @@ def _segsum_kernel(tile_ptr_ref, values_t_hbm, ids_hbm, out_ref, acc, vbuf,
 
 @functools.partial(jax.jit,
                    static_argnames=("num_segments", "interpret",
-                                    "out_transposed"))
+                                    "out_transposed", "block"))
 def csr_segment_sum_t(values_t: jnp.ndarray, segment_ids_2d: jnp.ndarray,
                       tile_ptr: jnp.ndarray, num_segments: int,
                       interpret: bool = False,
-                      out_transposed: bool = False) -> jnp.ndarray:
+                      out_transposed: bool = False,
+                      block: int = BLOCK) -> jnp.ndarray:
     """Sorted segment-sum over feature-major values.
 
     Args:
@@ -212,7 +220,7 @@ def csr_segment_sum_t(values_t: jnp.ndarray, segment_ids_2d: jnp.ndarray,
     Returns [N, d] sums ([d, N] when out_transposed).
     """
     d, k_pad = values_t.shape
-    assert k_pad % BLOCK == 0, k_pad
+    assert k_pad % block == 0, (k_pad, block)
     n_tiles = tile_ptr.shape[0] - 1
     n_pad = n_tiles * TILE_N
 
@@ -237,14 +245,14 @@ def csr_segment_sum_t(values_t: jnp.ndarray, segment_ids_2d: jnp.ndarray,
         out_specs=out_spec,
         scratch_shapes=[
             pltpu.VMEM(acc_shape, jnp.float32),
-            pltpu.VMEM((NBUF, d, BLOCK), values_t.dtype),
-            pltpu.VMEM((NBUF, NSUB, 128), jnp.int32),
+            pltpu.VMEM((NBUF, d, block), values_t.dtype),
+            pltpu.VMEM((NBUF, block // SUB, 128), jnp.int32),
             pltpu.SemaphoreType.DMA((NBUF, 2)),
             pltpu.SMEM((2,), jnp.int32),
         ],
     )
     out = pl.pallas_call(
-        _make_segsum_kernel(out_transposed),
+        _make_segsum_kernel(out_transposed, block),
         out_shape=out_shape,
         grid_spec=grid_spec,
         interpret=interpret,

@@ -5,12 +5,15 @@ rotating tail→head→query company, logsigmoid pos/neg losses with word2vec
 subsampling weights — then a full PS pass with pointwise BCE. One step
 function per KG mode keeps branching static under jit.
 
-Optimizer parity note: torch uses a single Adam whose per-param moments
-advance only when that param received a gradient (phase-dependent). Here
-each phase gets an ``optax.masked`` Adam over exactly the params that phase
-trains; the only param in both masks is the KG vocab table (the PS phase
-embeds queries without detaching, Srrl.py:120), whose moments are tracked
-per-phase — a deviation within run-to-run variance.
+Optimizer parity: torch uses a SINGLE Adam (Main.py:192) whose per-param
+moments and step counters advance only when that param received a
+gradient in the step (params with grad=None are skipped). Replicated by
+``_phase_adam``: one shared optimizer state over the full param tree with
+per-leaf step counters; each phase's transformation advances exactly its
+mask's leaves. The KG vocab table (trained un-detached by BOTH phases,
+Srrl.py:120) thus shares one set of moments across phases, as in torch —
+round 2 used two ``optax.masked`` Adams with split vocab moments, which
+measurably lagged the reference replay.
 
 L2-regularization quirk preserved: the reference computes the penalty from
 ``weight.data`` (detached) and multiplies the coefficient twice
@@ -44,8 +47,7 @@ from ihgnn_tpu.utils.logging import log_print
 @struct.dataclass
 class SrrlTrainState:
     params: Any
-    kg_opt_state: Any
-    ps_opt_state: Any
+    opt_state: Any         # ONE Adam state shared by both phases (torch)
     step: jnp.ndarray
 
 
@@ -73,11 +75,47 @@ def _phase_masks(params):
     return kg, ps
 
 
+def _phase_adam(lr: float, mask, b1=0.9, b2=0.999, eps=1e-8):
+    """Adam whose state spans the FULL param tree but whose moments and
+    per-leaf step counters advance only at mask-True leaves — torch's
+    single-optimizer semantics where grad-less params are skipped
+    (torch.optim.Adam per-param state['step']). Two phase transformations
+    built over the same param tree share ONE state object."""
+
+    def init(params):
+        return (jax.tree.map(jnp.zeros_like, params),              # mu
+                jax.tree.map(jnp.zeros_like, params),              # nu
+                jax.tree.map(lambda _: jnp.zeros((), jnp.int32),
+                             params))                              # steps
+
+    def update(grads, state, params=None):
+        mu, nu, cnt = state
+        new_mu = jax.tree.map(
+            lambda m, g, v: b1 * v + (1 - b1) * g if m else v,
+            mask, grads, mu)
+        new_nu = jax.tree.map(
+            lambda m, g, v: b2 * v + (1 - b2) * g * g if m else v,
+            mask, grads, nu)
+        new_cnt = jax.tree.map(lambda m, c: c + 1 if m else c, mask, cnt)
+
+        def upd(m, g, mu_l, nu_l, c):
+            if not m:
+                return jnp.zeros_like(g)
+            t = c.astype(jnp.float32)
+            mu_hat = mu_l / (1 - b1 ** t)
+            nu_hat = nu_l / (1 - b2 ** t)
+            return -lr * mu_hat / (jnp.sqrt(nu_hat) + eps)
+
+        updates = jax.tree.map(upd, mask, grads, new_mu, new_nu, new_cnt)
+        return updates, (new_mu, new_nu, new_cnt)
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_srrl_optimizers(cfg: Config, params):
     kg_mask, ps_mask = _phase_masks(params)
-    adam = optax.adam(cfg.train.learning_rate, b1=0.9, b2=0.999, eps=1e-8)
-    tx_kg = optax.masked(adam, kg_mask)
-    tx_ps = optax.masked(adam, ps_mask)
+    tx_kg = _phase_adam(cfg.train.learning_rate, kg_mask)
+    tx_ps = _phase_adam(cfg.train.learning_rate, ps_mask)
     return tx_kg, tx_ps
 
 
@@ -116,11 +154,11 @@ def make_kg_steps(model: Srrl, query_words, query_word_counts, tx_kg, cfg: Confi
         def step(state: SrrlTrainState, triples, negs, weights, company):
             loss, grads = jax.value_and_grad(loss_fn)(
                 state.params, triples, negs, weights, company)
-            updates, opt_state = tx_kg.update(grads, state.kg_opt_state,
+            updates, opt_state = tx_kg.update(grads, state.opt_state,
                                               state.params)
             params = optax.apply_updates(state.params, updates)
             return dataclasses.replace(state, params=params,
-                                       kg_opt_state=opt_state,
+                                       opt_state=opt_state,
                                        step=state.step + 1), loss
 
         return jax.jit(step)
@@ -147,9 +185,9 @@ def make_ps_step(model: Srrl, query_words, query_word_counts, tx_ps, cfg: Config
 
     def step(state: SrrlTrainState, batch):
         loss, grads = jax.value_and_grad(loss_fn)(state.params, batch)
-        updates, opt_state = tx_ps.update(grads, state.ps_opt_state, state.params)
+        updates, opt_state = tx_ps.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        return dataclasses.replace(state, params=params, ps_opt_state=opt_state,
+        return dataclasses.replace(state, params=params, opt_state=opt_state,
                                    step=state.step + 1), loss
 
     return jax.jit(step)
@@ -164,8 +202,9 @@ def init_srrl(cfg: Config, data: GraphData, rng) -> Tuple[Srrl, SrrlTrainState, 
                                           data.query_word_counts,
                                           method=model.init_all))(rng)
     tx_kg, tx_ps = make_srrl_optimizers(cfg, params)
-    state = SrrlTrainState(params=params, kg_opt_state=tx_kg.init(params),
-                           ps_opt_state=tx_ps.init(params),
+    # both phase transforms init identically (full-tree mu/nu/steps) and
+    # SHARE the one state — torch's single Adam (Main.py:192)
+    state = SrrlTrainState(params=params, opt_state=tx_kg.init(params),
                            step=jnp.zeros((), jnp.int32))
     return model, state, tx_kg, tx_ps
 

@@ -1,5 +1,11 @@
 """Pallas hyperedge-op pipeline vs the XLA reference path (interpreter
-mode on CPU — same code the TPU compiles, minus Mosaic)."""
+mode on CPU — same code the TPU compiles, minus Mosaic).
+
+Round 3: the single-chip pack runs in σ order (the q-role's pre-final-
+stage state, a row-local scramble of edge order — ops/packing.py). Tests
+recover the σ↔edge relabeling from the pack's ``sig_stage`` to compare
+against direct edge-order references.
+"""
 
 import jax
 import jax.numpy as jnp
@@ -9,7 +15,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ihgnn_tpu.data.synthetic import make_synthetic_data
 from ihgnn_tpu.ops.hyperagg import (_gather_roles_pallas, _scatter_pallas,
-                                    make_hyper_ops)
+                                    make_hyper_ops, sigma_to_edge_order)
 
 D = 8
 
@@ -25,6 +31,23 @@ def _pad(x, width):
     return jnp.pad(x, ((0, 0), (0, width - x.shape[1])))
 
 
+def _edge_pos(kp):
+    """[e_pad] σ position of each (padded-grid) edge id: edge (r, c) lives
+    at σ position (r, p2q[r, c])."""
+    if not kp.sigma:
+        return np.arange(kp.e_pad)
+    from ihgnn_tpu.ops.pallas.permute import unpack_stage_perm
+    p2q = np.asarray(unpack_stage_perm(kp.sig_stage))        # [R, C]
+    base = np.arange(kp.rows)[:, None] * kp.cols
+    return (base + p2q).reshape(-1)
+
+
+def test_pack_is_sigma(graph):
+    assert graph.kp is not None and graph.kp.sigma
+    assert graph.kp.q.fwd_p2 is None and graph.kp.q.inv_p2 is None
+    assert graph.kp.i.fwd_p2 is not None and graph.kp.i.inv_p2 is not None
+
+
 def test_gather_matches_direct(graph):
     kp = graph.kp
     rng = np.random.default_rng(0)
@@ -32,9 +55,9 @@ def test_gather_matches_direct(graph):
     with pltpu.force_tpu_interpret_mode():
         out = np.asarray(_gather_roles_pallas(_pad(jnp.asarray(x),
                                                    kp.src_pad), kp))
-    e = kp.e
+    pos = _edge_pos(kp)[:kp.e]
     for r in range(3):
-        np.testing.assert_allclose(out[r][:, :e], x[:, graph.i3[:, r]],
+        np.testing.assert_allclose(out[r][:, pos], x[:, graph.i3[:, r]],
                                    rtol=1e-4, atol=1e-4)
 
 
@@ -44,10 +67,24 @@ def test_scatter_matches_direct(graph):
     ef = rng.standard_normal((D, kp.e_pad)).astype(np.float32)
     with pltpu.force_tpu_interpret_mode():
         out = np.asarray(_scatter_pallas(jnp.asarray(ef), kp))
+    # reference: re-label the σ-ordered stream into edge order first
+    pos = _edge_pos(kp)[:kp.e]
+    ef_edge = ef[:, pos]
     ref = np.zeros((D, graph.node_count), np.float32)
     np.add.at(ref.T, np.asarray(graph.inc_node),
-              ef[:, :kp.e][:, np.asarray(graph.inc_edge)].T)
+              ef_edge[:, np.asarray(graph.inc_edge)].T)
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_sigma_to_edge_order(graph):
+    kp = graph.kp
+    rng = np.random.default_rng(4)
+    ef = rng.standard_normal((D, kp.e_pad)).astype(np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(sigma_to_edge_order(jnp.asarray(ef), kp))
+    pos = _edge_pos(kp)
+    # f32 rides the hier kernel's bf16 hi/lo split (~1e-4; bf16 is exact)
+    np.testing.assert_allclose(out, ef[:, pos], rtol=1e-4, atol=1e-4)
 
 
 def test_pallas_grads_match_xla_path(graph):
@@ -56,29 +93,34 @@ def test_pallas_grads_match_xla_path(graph):
     kp = graph.kp
     rng = np.random.default_rng(2)
     e, e_pad = kp.e, kp.e_pad
+    pos = jnp.asarray(_edge_pos(kp)[:e])
     x = jnp.asarray(rng.standard_normal((D, graph.node_count)).astype(np.float32))
-    ef_pad = jnp.asarray(rng.standard_normal((D, e_pad)).astype(np.float32))
+    ef_edge = jnp.asarray(rng.standard_normal((D, e)).astype(np.float32))
     w3 = jnp.asarray(rng.standard_normal((D, 3 * e)).astype(np.float32))
     wn = jnp.asarray(rng.standard_normal((D, graph.node_count)).astype(np.float32))
 
-    def loss_pallas(x, ef_pad):
+    # σ-ordered edge-feature input built from the edge-order primal
+    def to_sigma(ef):
+        out = jnp.zeros((D, e_pad), ef.dtype)
+        return out.at[:, pos].set(ef)
+
+    def loss_pallas(x, ef):
         g = _gather_roles_pallas(_pad(x, kp.src_pad), kp)
-        real = jnp.concatenate([g[r][:, :e] for r in range(3)], axis=1)
+        real = jnp.concatenate([g[r][:, pos] for r in range(3)], axis=1)
         return (jnp.sum(real * w3)
-                + jnp.sum(_scatter_pallas(ef_pad, kp) * wn))
+                + jnp.sum(_scatter_pallas(to_sigma(ef), kp) * wn))
 
     gather_x, scatter_x = make_hyper_ops(graph.replace(kp=None))
 
-    def loss_xla(x, ef_pad):
+    def loss_xla(x, ef):
         g = gather_x(x)
         real = jnp.concatenate([g[0], g[1], g[2]], axis=1)
-        return (jnp.sum(real * w3)
-                + jnp.sum(scatter_x(ef_pad[:, :e]) * wn))
+        return jnp.sum(real * w3) + jnp.sum(scatter_x(ef) * wn)
 
     with pltpu.force_tpu_interpret_mode():
         lp, (gx_p, ge_p) = jax.value_and_grad(loss_pallas, argnums=(0, 1))(
-            x, ef_pad)
-    lx, (gx_x, ge_x) = jax.value_and_grad(loss_xla, argnums=(0, 1))(x, ef_pad)
+            x, ef_edge)
+    lx, (gx_x, ge_x) = jax.value_and_grad(loss_xla, argnums=(0, 1))(x, ef_edge)
 
     assert float(lp) == pytest.approx(float(lx), rel=1e-4)
     np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_x),

@@ -70,8 +70,17 @@ def test_hypergraph_carries_kernel_pack():
         real = np.sort(region[region != 2**31 - 1])
         np.testing.assert_array_equal(real, np.sort(g.i3[:, r]))
         assert (region == 2**31 - 1).sum() == e_pad - e
-    # u region is unshuffled (identity edge order = u-sorted)
-    np.testing.assert_array_equal(ids_flat[:e], g.i3[:, 0])
+    # u region: σ packs store u ids at the σ-scrambled edge positions
+    # (row-local; real ids where the σ position holds a real edge); the
+    # non-σ layout is the identity edge order
+    if kp.sigma:
+        from ihgnn_tpu.ops.pallas.permute import unpack_stage_perm
+        p2q = np.asarray(unpack_stage_perm(kp.sig_stage))
+        base = np.arange(kp.rows)[:, None] * kp.cols
+        pos_of_edge = (base + p2q).reshape(-1)[:e]
+        np.testing.assert_array_equal(ids_flat[pos_of_edge], g.i3[:, 0])
+    else:
+        np.testing.assert_array_equal(ids_flat[:e], g.i3[:, 0])
     # the node-major entry order is [u | q-rank | i-rank] (graph.py)
     e = g.edge_count
     np.testing.assert_array_equal(g.inc_edge[:e], np.arange(e))
@@ -113,3 +122,80 @@ def test_hyper_ops_xla_path_grads():
     np.testing.assert_allclose(np.asarray(jax.grad(s_op)(ef)),
                                np.asarray(jax.grad(s_ref)(ef)),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_segsum_block_2048_interpret():
+    """block=2048 segsum (stress cols=2048 grids) matches segment_sum."""
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+    from ihgnn_tpu.ops.pallas.segsum import csr_segment_sum_t, pack_csr_tiles
+    rng = np.random.default_rng(9)
+    k, n, d = 3800, 300, 4
+    ids = np.sort(rng.integers(0, n, k)).astype(np.int32)
+    k_pad = 4096
+    ids_pad = np.concatenate([ids, np.full(k_pad - k, 2**31 - 1, np.int32)])
+    vals = rng.standard_normal((d, k_pad)).astype(np.float32)
+    tile_ptr, _ = pack_csr_tiles(ids, n)
+    with pltpu.force_tpu_interpret_mode():
+        out = csr_segment_sum_t(jnp.asarray(vals),
+                                jnp.asarray(ids_pad.reshape(-1, 128)),
+                                jnp.asarray(tile_ptr), n,
+                                out_transposed=True, block=2048)
+    ref = jax.ops.segment_sum(vals[:, :k].T, ids, num_segments=n).T
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_sigma_pack_mid_scale_twins():
+    """σ pack index math at a mid-scale grid where the expand rows are
+    WIDER than the Clos rows (exp_cols=1024 > cols=512 — the σ relabel
+    and stage-0 compositions must stay within cols-sub-rows): jnp-twin
+    gather/scatter over a synthetic 300k-edge graph match direct
+    formulations. (cols=2048 stress grids use the same code path with
+    seg_block=2048; the block=2048 kernel is covered above and the full
+    grid on the TPU stress run.)"""
+    from ihgnn_tpu.ops.hyperagg import make_hyper_ops
+    from ihgnn_tpu.ops.packing import build_hyper_kernel_pack
+    from ihgnn_tpu.graph import HyperGraph
+
+    rng = np.random.default_rng(5)
+    U, Q, I = 3000, 2000, 5000
+    e = 300_000
+    n = U + Q + I
+    u = np.sort(rng.integers(0, U, e))
+    i3 = np.stack([u, U + rng.integers(0, Q, e),
+                   U + Q + rng.integers(0, I, e)], axis=1).astype(np.int32)
+    kp = build_hyper_kernel_pack(i3, n)
+    assert kp is not None and kp.sigma
+    assert kp.cols == 512 and kp.seg_block == 1024
+
+    dv = np.zeros(n, np.float32)
+    np.add.at(dv, i3.reshape(-1), 1.0)
+    dv[dv == 0] = 1e-8
+    inc_edge = np.concatenate([np.arange(e), np.argsort(i3[:, 1], kind="stable"),
+                               np.argsort(i3[:, 2], kind="stable")]).astype(np.int32)
+    inc_node = np.concatenate([i3[:, 0], np.sort(i3[:, 1]),
+                               np.sort(i3[:, 2])]).astype(np.int32)
+    g = HyperGraph(i3=i3, dv=dv, inc_node=inc_node, inc_edge=inc_edge,
+                   edge_mask=None, node_count=n, edge_count=e, kp=kp)
+
+    d = 4
+    x = rng.standard_normal((d, n)).astype(np.float32)
+    # call the pack pipeline directly (make_hyper_ops dispatches to the
+    # XLA fallback on CPU); its impls run the jnp twins here
+    from ihgnn_tpu.ops.hyperagg import _gather_roles_pallas, _scatter_pallas
+    x_pad = jnp.pad(jnp.asarray(x), ((0, 0), (0, kp.src_pad - n)))
+    uq, qq, iq = _gather_roles_pallas(x_pad, kp)
+    # recover σ positions and check against direct gathers
+    from ihgnn_tpu.ops.pallas.permute import unpack_stage_perm
+    p2q = np.asarray(unpack_stage_perm(kp.sig_stage))
+    pos = (np.arange(kp.rows)[:, None] * kp.cols + p2q).reshape(-1)[:e]
+    for out, r in ((uq, 0), (qq, 1), (iq, 2)):
+        np.testing.assert_allclose(np.asarray(out)[:, pos],
+                                   x[:, i3[:, r]], rtol=1e-5, atol=1e-5)
+    # scatter: σ-ordered input vs direct index_add
+    ef = rng.standard_normal((d, kp.e_pad)).astype(np.float32)
+    out = np.asarray(_scatter_pallas(jnp.asarray(ef), kp))
+    ef_edge = ef[:, pos]
+    ref = np.zeros((d, n), np.float32)
+    np.add.at(ref.T, inc_node, ef_edge[:, inc_edge].T)
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)

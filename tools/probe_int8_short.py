@@ -62,8 +62,8 @@ def main():
         results[name] = round(ms, 3)
         print(name, results[name], flush=True)
 
-    h_rc = kp.q.fwd_p2        # [R, C] orientation
-    h_cr = kp.q.bwd_p1        # [C, R] orientation
+    h_rc = kp.i.fwd_p2  # q.fwd_p2 is None under the sigma pack        # [R, C] orientation
+    h_cr = kp.q.inv_p1        # [C, R] orientation
     assert h_rc.hier and h_cr.hier
 
     for tag, dt in [("bf16", jnp.bfloat16), ("f32", jnp.float32)]:

@@ -103,8 +103,8 @@ def main():
 
         # hierarchical variants, on the REAL kp stage tables (kp.q):
         # fwd_p2 is the [R, C] orientation, bwd_p1 the [C, R] one
-        h_rc = kp.q.fwd_p2
-        h_cr = kp.q.bwd_p1
+        h_rc = kp.i.fwd_p2  # q.fwd_p2 is None under the sigma pack
+        h_cr = kp.q.inv_p1
         if h_rc.hier and h_cr.hier:
             report(f"rlp_hier_{tag}_ms",
                    amortized(lambda x: (row_local_permute_hier(x, h_rc.tab),

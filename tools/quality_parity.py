@@ -34,13 +34,17 @@ sys.path.insert(0, REPO)
 
 
 def run_ours(dataset, epochs, seed, emb, model="rawgnn"):
-    """One CLI run on CPU; returns best-valid-epoch test metrics."""
+    """One CLI run on CPU; returns best-valid-epoch test metrics.
+
+    The eval grid must match the replay's (every 5 from epoch 5): the Srrl
+    model peaks around epochs 5-10, so a mismatched model-selection grid
+    reads as a quality gap that isn't one."""
     code = f"""
 import jax, json
 jax.config.update('jax_platforms', 'cpu')
 from ihgnn_tpu.cli import main
 mc = main(['--dataset', {dataset!r}, '--epoch_count', '{epochs}',
-           '--epoch_start_test', '10', '--epoch_test_frequency', '5',
+           '--epoch_start_test', '5', '--epoch_test_frequency', '5',
            '--seed', '{seed}', '--emb', '{emb}', '--model', {model!r},
            '--result_dir', '/tmp/parity_ours_{model}_{seed}'])
 epoch, test, valid = mc.get_valid_best(lambda m: m.NDCG_at10)
