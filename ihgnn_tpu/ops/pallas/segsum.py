@@ -65,14 +65,16 @@ def pack_csr_tiles(segment_ids: np.ndarray, num_segments: int,
     return tile_ptr, n_pad
 
 
-def _make_segsum_kernel(out_transposed: bool, block: int):
+def _make_segsum_kernel(out_transposed: bool, block: int, sub: int):
     def kernel(*args):
-        _segsum_kernel(*args, out_transposed=out_transposed, block=block)
+        _segsum_kernel(*args, out_transposed=out_transposed, block=block,
+                       sub=sub)
     return kernel
 
 
 def _segsum_kernel(tile_ptr_ref, values_t_hbm, ids_hbm, out_ref, acc, vbuf,
-                   nbuf, sems, ctr, out_transposed=False, block=BLOCK):
+                   nbuf, sems, ctr, out_transposed=False, block=BLOCK,
+                   sub=SUB):
     """Streaming variant: the entry stream is consumed in order across the
     whole grid, so the DMA pipeline is GLOBAL — two SMEM counters
     (next-unfetched block, next-unwaited block) persist across grid
@@ -137,8 +139,16 @@ def _segsum_kernel(tile_ptr_ref, values_t_hbm, ids_hbm, out_ref, acc, vbuf,
         ctr[1] = jnp.maximum(waited, g + 1)
 
         slot = jax.lax.rem(g, NBUF)
-        for j in range(nsub):
-            nodes = nbuf[slot][j].reshape(1, SUB)
+        rows_per_sub = sub // SUB
+        for j in range(block // sub):
+            # sub > 128: lane-concat the id rows (a [k, 128] → [1, k*128]
+            # reshape would cross lanes — illegal shape cast on Mosaic).
+            # Wider sub halves the matmul-issue count — the kernels are
+            # issue-bound, not weight-load-bound (docs/KERNELS.md round 3).
+            parts = [nbuf[slot][j * rows_per_sub + t].reshape(1, SUB)
+                     for t in range(rows_per_sub)]
+            nodes = parts[0] if len(parts) == 1 else jnp.concatenate(
+                parts, axis=1)
             # node-range filtering (no positional mask): entries whose node
             # falls outside this tile — neighbors' shares of boundary
             # blocks, sentinel padding, out-of-order entries within a block
@@ -146,14 +156,14 @@ def _segsum_kernel(tile_ptr_ref, values_t_hbm, ids_hbm, out_ref, acc, vbuf,
             # store ids in any within-block order (the Clos stage-2 fusion
             # in ops/packing.py).
             local = nodes - node_base
-            onehot = (jax.lax.broadcasted_iota(jnp.int32, (TILE_N, SUB), 0)
+            onehot = (jax.lax.broadcasted_iota(jnp.int32, (TILE_N, sub), 0)
                       == local).astype(jnp.bfloat16)
             # f32 values: bf16 hi/lo split (~f32 accuracy; the one-hot side
             # is exact), M-packed — hi and lo stack along the feature axis
             # so a single MXU pass computes both (M = 2d ≤ 128 is spare
             # capacity at d = 32; see permute.py). bf16 values: single
             # pass, products are exact and accumulate in f32.
-            v = vbuf[slot][:, j * SUB:(j + 1) * SUB]
+            v = vbuf[slot][:, j * sub:(j + 1) * sub]
             d = v.shape[0]
             if v.dtype == jnp.bfloat16:
                 vs = v
@@ -196,12 +206,12 @@ def _segsum_kernel(tile_ptr_ref, values_t_hbm, ids_hbm, out_ref, acc, vbuf,
 
 @functools.partial(jax.jit,
                    static_argnames=("num_segments", "interpret",
-                                    "out_transposed", "block"))
+                                    "out_transposed", "block", "sub"))
 def csr_segment_sum_t(values_t: jnp.ndarray, segment_ids_2d: jnp.ndarray,
                       tile_ptr: jnp.ndarray, num_segments: int,
                       interpret: bool = False,
                       out_transposed: bool = False,
-                      block: int = BLOCK) -> jnp.ndarray:
+                      block: int = BLOCK, sub: int = 256) -> jnp.ndarray:
     """Sorted segment-sum over feature-major values.
 
     Args:
@@ -251,8 +261,9 @@ def csr_segment_sum_t(values_t: jnp.ndarray, segment_ids_2d: jnp.ndarray,
             pltpu.SMEM((2,), jnp.int32),
         ],
     )
+    assert block % sub == 0 and sub % SUB == 0, (block, sub)
     out = pl.pallas_call(
-        _make_segsum_kernel(out_transposed, block),
+        _make_segsum_kernel(out_transposed, block, sub),
         out_shape=out_shape,
         grid_spec=grid_spec,
         interpret=interpret,
