@@ -141,10 +141,11 @@ def _segsum_kernel(tile_ptr_ref, values_t_hbm, ids_hbm, out_ref, acc, vbuf,
         slot = jax.lax.rem(g, NBUF)
         rows_per_sub = sub // SUB
         for j in range(block // sub):
-            # sub > 128: lane-concat the id rows (a [k, 128] → [1, k*128]
-            # reshape would cross lanes — illegal shape cast on Mosaic).
-            # Wider sub halves the matmul-issue count — the kernels are
-            # issue-bound, not weight-load-bound (docs/KERNELS.md round 3).
+            # sub > 128 is EXPERIMENTAL and off by default: real Mosaic
+            # rejects the lane-concat of sublane-offset id slices
+            # ("result/input offset mismatch on non-concat dimension")
+            # that interpret mode accepts; a mask-side concat variant is
+            # untested on chip. Default sub=SUB takes the single-row path.
             parts = [nbuf[slot][j * rows_per_sub + t].reshape(1, SUB)
                      for t in range(rows_per_sub)]
             nodes = parts[0] if len(parts) == 1 else jnp.concatenate(
@@ -211,7 +212,7 @@ def csr_segment_sum_t(values_t: jnp.ndarray, segment_ids_2d: jnp.ndarray,
                       tile_ptr: jnp.ndarray, num_segments: int,
                       interpret: bool = False,
                       out_transposed: bool = False,
-                      block: int = BLOCK, sub: int = 256) -> jnp.ndarray:
+                      block: int = BLOCK, sub: int = SUB) -> jnp.ndarray:
     """Sorted segment-sum over feature-major values.
 
     Args:
