@@ -327,23 +327,37 @@ def recombine_byte_planes(planes_i32: jnp.ndarray, d: int,
     return jax.lax.bitcast_convert_type(acc, jnp.float32)
 
 
-def _i8_kernel(x_hbm, p_ref, o_ref, xs, sem, *, d: int):
-    """Pre-packed byte-plane variant: ``x_hbm`` holds [n_planes*d, R, C]
-    int8 planes packed OUTSIDE the kernel (one fused XLA pass). In-kernel
-    packing measured catastrophically at some stress shapes — 3279 ms/pass
-    at [32, 2048, 4992] vs 15.4 ms pre-packed (docs/LONGROW_PROBE.json
-    round 3; the [64, 16, C] int8 scratch store's sub-tile sublane layout
-    is the suspect) — while at [32, 1024, 9856] it was fine (26.1 ms)."""
-    pd, rt, c = xs.shape
+def _i8_kernel(x_hbm, p_ref, o_ref, xv, xs, sem):
+    """In-kernel byte-plane packing via ALIGNED SUB-RANGE STORES.
+
+    jnp.concatenate along the sublane axis of int8 operands is the trap:
+    XLA lowers the standalone pack to a 2867 ms pass at [32, 2048, 4992]
+    (17.4 ms without the concat — measured round 3), and Mosaic's in-kernel
+    concat was equally pathological (3279 ms/pass through the old kernel).
+    Writing each plane into its own d-row slice of the [n_planes*d, rt, c]
+    scratch (d = 32 = the int8 sublane tile, so stores are tile-aligned)
+    avoids concat in both compilers."""
+    d, rt, c = xv.shape
+    n_planes = xs.shape[0] // d
     i = pl.program_id(1)
     j = pl.program_id(0)
 
     @pl.when(i == 0)
-    def _fetch():
+    def _fetch_and_pack():
         dma = pltpu.make_async_copy(x_hbm.at[:, pl.ds(j * rt, rt), :],
-                                    xs, sem)
+                                    xv, sem)
         dma.start()
         dma.wait()
+        if n_planes == 2:
+            u = jax.lax.bitcast_convert_type(xv[...], jnp.uint16).astype(
+                jnp.int32)
+        else:
+            u = jax.lax.bitcast_convert_type(xv[...], jnp.uint32).astype(
+                jnp.int32)
+        for pi in range(n_planes):
+            xs[pi * d:(pi + 1) * d] = (
+                ((u >> (8 * (n_planes - 1 - pi))) & 255) - 128
+            ).astype(jnp.int8)
 
     for r in range(rt):
         oh = (jax.lax.broadcasted_iota(jnp.int32, (c, CHUNK), 0)
@@ -359,7 +373,7 @@ def int8_rlp_ok(d: int, r: int, c: int, dtype) -> bool:
     if dtype not in (jnp.bfloat16, jnp.float32):
         return False
     n_planes = 2 if dtype == jnp.bfloat16 else 4
-    tile = n_planes * d * INT8_RT * c           # int8 plane row tile
+    tile = (1 + n_planes) * d * INT8_RT * c     # value tile + int8 planes
     return (r % INT8_RT == 0 and c % CHUNK == 0 and c > 2048
             and tile + (4 << 20) <= 80 << 20)
 
@@ -368,14 +382,13 @@ def int8_rlp_ok(d: int, r: int, c: int, dtype) -> bool:
 def row_local_permute_int8(x: jnp.ndarray, p: jnp.ndarray,
                            interpret: bool = False) -> jnp.ndarray:
     """x: [d, R, C] bf16/f32; p: [R, C] int32 → out[:, r, c] =
-    x[:, r, p[r, c]] — exact (pure byte transport through int8 one-hots).
-    Byte planes are packed by XLA before the kernel (~1 bandwidth pass)."""
+    x[:, r, p[r, c]] — exact (pure byte transport through int8 one-hots)."""
     d, r, c = x.shape
     assert p.shape == (r, c), (p.shape, x.shape)
     assert int8_rlp_ok(d, r, c, x.dtype), (x.shape, x.dtype)
-    xp = pack_byte_planes(x)                    # [n_planes*d, R, C] int8
+    n_planes = 2 if x.dtype == jnp.bfloat16 else 4
     return pl.pallas_call(
-        functools.partial(_i8_kernel, d=d),
+        _i8_kernel,
         grid=(r // INT8_RT, c // CHUNK),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec((INT8_RT, CHUNK), lambda j, i: (j, i),
@@ -383,11 +396,12 @@ def row_local_permute_int8(x: jnp.ndarray, p: jnp.ndarray,
         out_specs=pl.BlockSpec((d, INT8_RT, CHUNK), lambda j, i: (0, j, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((d, r, c), x.dtype),
-        scratch_shapes=[pltpu.VMEM((xp.shape[0], INT8_RT, c), jnp.int8),
+        scratch_shapes=[pltpu.VMEM((d, INT8_RT, c), x.dtype),
+                        pltpu.VMEM((n_planes * d, INT8_RT, c), jnp.int8),
                         pltpu.SemaphoreType.DMA],
         compiler_params=_RLP_VMEM,
         interpret=interpret,
-    )(xp, p)
+    )(x, p)
 
 
 # ---------------------------------------------------------------------------

@@ -107,5 +107,46 @@ def main():
         json.dump(res, fh, indent=1)
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--composed" not in sys.argv:
     main()
+
+
+def composed():
+    """Composed gather/scatter impls (baked pack) — discriminates
+    composition overhead from arg-passing overhead."""
+    from ihgnn_tpu.ops.hyperagg import _gather_impl, _scatter_impl
+
+    with open(CACHE, "rb") as f:
+        graph, _ = pickle.load(f)
+    kp = graph.kp
+    D = 32
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((D, kp.src_pad)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    ef = jnp.asarray(rng.standard_normal((D, kp.e_pad)).astype(np.float32)
+                     ).astype(jnp.bfloat16)
+    res = {}
+
+    @jax.jit
+    def f_gather(x, scale):
+        u, q, i = _gather_impl(x * scale, kp)
+        return (jnp.sum(u[0, :8].astype(jnp.float32))
+                + jnp.sum(q[0, :8].astype(jnp.float32))
+                + jnp.sum(i[0, :8].astype(jnp.float32)))
+
+    res["gather_full_ms"] = timed(f_gather, x)
+    print("gather_full", res["gather_full_ms"], flush=True)
+
+    @jax.jit
+    def f_scatter(ef, scale):
+        y = _scatter_impl(ef * scale, kp)
+        return jnp.sum(y[0, :8])
+
+    res["scatter_full_ms"] = timed(f_scatter, ef)
+    print("scatter_full", res["scatter_full_ms"], flush=True)
+    print(json.dumps(res))
+
+
+if __name__ == "__main__" and "--composed" in sys.argv:
+    composed()
+    sys.exit(0)
