@@ -280,18 +280,23 @@ def build_hyper_kernel_pack(i3: np.ndarray, node_count: int,
     sharded packs keep sigma=False (they slice exact-e edge tails, which
     σ interleaves into rows).
 
-    Long-row grids: past ~4M edges the default C=1024 grid gives the
-    middle ([C, R]) stage rows of E/1024 lanes (9856 at the 10M-edge
-    stress config) — flat-one-hot cost grows linearly with row length, so
-    the grid widens to C=2048 (squarer: halves the long dimension). The
-    absorption fusions then need 2048-entry segment-sum DMA blocks and
-    2048-wide expand rows (seg_block / EXPAND_COLS scale with cols).
+    Long-row grids: C stays 1024. The squarer C=2048 grid (halving the
+    long [C, R] stage's row length, round-3 experiment) measured FASTER
+    per-kernel (int8 long stage 26.1 → 15.4 ms/pass) but the COMPOSED
+    step collapsed to 6.5 s vs 1.31 s at C=1024 — isolated-kernel and
+    composed timings disagree wildly at that shape (isolated gather 3.7 s
+    > the whole layer fwd 1.5 s that contains it), pointing at a
+    shape-dependent XLA/Mosaic lowering pathology this round did not
+    root-cause (the int8 sublane-concat trap was one such; fixed, did not
+    recover the step). Machinery for wider grids (per-pack seg_block,
+    cols-wide expand rows) stays in place and tested for when it does.
+    Override for probes via ``IHGNN_PACK_COLS`` in the environment.
     """
+    import os
     e = i3.shape[0]
     if e == 0:
         return None
-    if e >= 4_000_000:
-        cols = max(cols, 2048)
+    cols = int(os.environ.get("IHGNN_PACK_COLS", cols))
     rows, cols = pick_grid(e, cols)
     e_pad = rows * cols
     exp_cols = max(EXPAND_COLS, cols)

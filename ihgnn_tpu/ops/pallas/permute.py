@@ -328,17 +328,18 @@ def recombine_byte_planes(planes_i32: jnp.ndarray, d: int,
 
 
 def _i8_kernel(x_hbm, p_ref, o_ref, xv, xs, sem):
-    """In-kernel byte-plane packing via ALIGNED SUB-RANGE STORES.
+    """Round-2 production form: row-tile DMA + in-kernel byte-plane pack.
 
-    jnp.concatenate along the sublane axis of int8 operands is the trap:
-    XLA lowers the standalone pack to a 2867 ms pass at [32, 2048, 4992]
-    (17.4 ms without the concat — measured round 3), and Mosaic's in-kernel
-    concat was equally pathological (3279 ms/pass through the old kernel).
-    Writing each plane into its own d-row slice of the [n_planes*d, rt, c]
-    scratch (d = 32 = the int8 sublane tile, so stores are tile-aligned)
-    avoids concat in both compilers."""
+    Byte-plane HANDLING is shape-fragile in both compilers (all measured
+    round 3): this form runs 26.1 ms/pass at [32, 1024, 9856] (the shape
+    the production cols=1024 stress grid produces — proven inside the
+    1312 ms round-2 stress step) but 3279 ms at [32, 2048, 4992]; the
+    standalone XLA pack with its axis-0 int8 concat costs 2867 ms at the
+    latter shape (17.4 ms concat-free); sub-range-store packing and
+    separate-plane-input DMA variants regressed 10-40x at one shape or
+    the other (docs/KERNELS.md round 3). Stress grids therefore stay at
+    cols=1024, where THIS form is the proven one."""
     d, rt, c = xv.shape
-    n_planes = xs.shape[0] // d
     i = pl.program_id(1)
     j = pl.program_id(0)
 
@@ -348,16 +349,7 @@ def _i8_kernel(x_hbm, p_ref, o_ref, xv, xs, sem):
                                     xv, sem)
         dma.start()
         dma.wait()
-        if n_planes == 2:
-            u = jax.lax.bitcast_convert_type(xv[...], jnp.uint16).astype(
-                jnp.int32)
-        else:
-            u = jax.lax.bitcast_convert_type(xv[...], jnp.uint32).astype(
-                jnp.int32)
-        for pi in range(n_planes):
-            xs[pi * d:(pi + 1) * d] = (
-                ((u >> (8 * (n_planes - 1 - pi))) & 255) - 128
-            ).astype(jnp.int8)
+        xs[...] = pack_byte_planes(xv[...])
 
     for r in range(rt):
         oh = (jax.lax.broadcasted_iota(jnp.int32, (c, CHUNK), 0)
@@ -373,7 +365,7 @@ def int8_rlp_ok(d: int, r: int, c: int, dtype) -> bool:
     if dtype not in (jnp.bfloat16, jnp.float32):
         return False
     n_planes = 2 if dtype == jnp.bfloat16 else 4
-    tile = (1 + n_planes) * d * INT8_RT * c     # value tile + int8 planes
+    tile = (1 + n_planes) * d * INT8_RT * c     # bf16/f32 tile + int8 planes
     return (r % INT8_RT == 0 and c % CHUNK == 0 and c > 2048
             and tile + (4 << 20) <= 80 << 20)
 
