@@ -40,12 +40,14 @@ def build_bench_graph(user_count, query_count, item_count, edge_count, seed=0):
 
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              ".cache")
-    # v3: σ-order packs + W-parametric hier tables (round 3). The pack
-    # A/B env knobs (packing.py) are part of the cache identity.
+    # v4: dg stage tables by default (round 4; v3 = σ packs + W-parametric
+    # hier). The pack A/B env knobs (packing.py) are part of the cache
+    # identity.
     knobs = "_".join(f"{k}{os.environ.get(k, '')}" for k in
-                     ("IHGNN_SIGMA", "IHGNN_HIER_W", "IHGNN_PACK_COLS")
+                     ("IHGNN_SIGMA", "IHGNN_HIER_W", "IHGNN_PACK_COLS",
+                      "IHGNN_STAGE_KIND")
                      if os.environ.get(k))
-    key = f"benchgraph_v3{knobs}_u{user_count}_q{query_count}" \
+    key = f"benchgraph_v4{knobs}_u{user_count}_q{query_count}" \
           f"_i{item_count}_e{edge_count}_s{seed}.pkl"
     path = os.path.join(cache_dir, key)
     if os.path.exists(path):

@@ -50,15 +50,19 @@ import numpy as np
 from ihgnn_tpu.graph import Graph2D, HyperGraph
 from ihgnn_tpu.ops import segment as xla_ops
 from ihgnn_tpu.ops.pallas.gather import EXP_RT, windowed_gather, windowed_gather_t
-from ihgnn_tpu.ops.pallas.permute import (block_transpose, int8_rlp_ok,
+from ihgnn_tpu.ops.pallas.permute import (block_transpose, dg_ok,
+                                          int8_rlp_ok,
                                           row_local_permute,
                                           row_local_permute_bfly,
+                                          row_local_permute_dg,
                                           row_local_permute_hier,
                                           row_local_permute_int8,
-                                          tlp_hier_ok,
+                                          tlp_dg_ok, tlp_hier_ok,
                                           transposed_local_permute_bfly,
+                                          transposed_local_permute_dg,
                                           unpack_stage_perm)
-from ihgnn_tpu.ops.pallas.segsum import csr_segment_sum_t
+from ihgnn_tpu.ops.pallas.segsum import (csr_segment_sum3_t,
+                                         csr_segment_sum_t)
 
 
 def use_pallas(graph) -> bool:
@@ -158,12 +162,18 @@ def _expand_t(x_pad, ep, rows, cols):
 
 def _rlp(x, st):
     """Row-local permute (StageTable): out[:, r, c] = x[:, r, p[r, c]].
-    bfly tables run the pure-VPU roll+select kernel; hier the two-level
-    one-hot kernel; flat the full-depth one-hot kernel."""
+    dg tables run the dynamic-gather kernel (round-4 default; one-hot
+    hier fallback when the shape/dtype falls outside dg_ok); bfly the
+    pure-VPU roll+select kernel; hier the two-level one-hot kernel; flat
+    the full-depth one-hot kernel."""
     if not _kernels_active():
         p = unpack_stage_perm(st)
         return jnp.take_along_axis(x, jnp.broadcast_to(p[None], x.shape),
                                    axis=2)
+    if st.kind == "dg":
+        if dg_ok(*x.shape, x.dtype):
+            return row_local_permute_dg(x, st.tab)
+        return row_local_permute_hier(x, st.tab, w=st.w)
     if st.kind == "bfly":
         return row_local_permute_bfly(x, st.tab)
     if st.kind == "hier":
@@ -190,6 +200,11 @@ def _rlp_bt(x, st):
         y = jnp.take_along_axis(x, jnp.broadcast_to(p[None], x.shape),
                                 axis=2)
         return jnp.swapaxes(y, 1, 2)
+    if st.kind == "dg" and tlp_dg_ok(*x.shape, x.dtype):
+        # fused dg permute+transpose: profitable because the dg body has
+        # no per-row MXU issues to serialize (3.39 vs 2.84 + 1.18 f32 at
+        # the bench stage shape — docs/DG2_PROBE.json)
+        return transposed_local_permute_dg(x, st.tab)
     if st.kind == "bfly" and tlp_hier_ok(*x.shape, x.dtype):
         return transposed_local_permute_bfly(x, st.tab)
     return block_transpose(_rlp(x, st))
@@ -261,18 +276,23 @@ def sigma_to_edge_order(edge_t, kp):
 def _segsum_regions(region_u, region_q_t1, region_i_t1, kp):
     """Segment-sum of the incidence values (full-width [d, E_pad] regions;
     q/i in t1 order, pad tails dropped via sentinel ids) → [d, N] f32
-    (accumulation is always f32, even for bf16 value streams)."""
-    vals = jnp.concatenate([region_u, region_q_t1, region_i_t1], axis=1)
+    (accumulation is always f32, even for bf16 value streams).
+
+    The kernel path takes the three regions as separate refs
+    (csr_segment_sum3_t) — materializing the [d, 3E] concat costs a full
+    extra HBM round-trip per call, ~1 ms x 4 calls/step at the bench."""
     if not _kernels_active():
+        vals = jnp.concatenate([region_u, region_q_t1, region_i_t1], axis=1)
         ids = kp.ids2d.reshape(-1)
         valid = ids < kp.n
         # mirror the kernel's accumulate-in-f32 contract for bf16 streams
         vals_m = jnp.where(valid[None, :], vals, 0).astype(jnp.float32)
         ids_c = jnp.where(valid, ids, 0)
         return jax.ops.segment_sum(vals_m.T, ids_c, num_segments=kp.n).T
-    return csr_segment_sum_t(vals, kp.ids2d, kp.tile_ptr, kp.n,
-                             out_transposed=True,
-                             block=getattr(kp, "seg_block", 1024))
+    return csr_segment_sum3_t(region_u, region_q_t1, region_i_t1,
+                              kp.ids2d, kp.tile_ptr, kp.n,
+                              out_transposed=True,
+                              block=getattr(kp, "seg_block", 1024))
 
 
 def _gather_impl(x_pad, kp):

@@ -158,9 +158,17 @@ def _pick_hier_w(length: int) -> Optional[int]:
 
 
 def _stage_table(raw: np.ndarray) -> StageTable:
-    """Pack one row-local stage table for the device kernels: route each
-    row through the second-level [B, W] Clos when the row length allows it
-    (ops/benes.py hier_eligible), else keep the flat permutation.
+    """Pack one row-local stage table for the device kernels.
+
+    Default (round 4): kind="dg" — the W=128 hier word format executed
+    with tpu.dynamic_gather in-block levels (ops/pallas/permute.py
+    row_local_permute_dg; measured faster than every one-hot variant at
+    short rows AND exact in all dtypes, docs/DG2_PROBE.json). Rows too
+    long for the dg exchange (B > 16) or with the override
+    ``IHGNN_STAGE_KIND=hier`` fall through to the one-hot path below:
+    route through the second-level [B, W] Clos when the row length
+    allows it (ops/benes.py hier_eligible), else keep the flat
+    permutation.
 
     The butterfly packing (kind="bfly", pure-VPU roll+select) measured
     SLOWER on-chip for these wide rows — rolls over >128-lane vectors
@@ -168,7 +176,16 @@ def _stage_table(raw: np.ndarray) -> StageTable:
     pair's 3.3 ms f32 at 2M x 32), and pltpu.roll cannot rotate 16-bit
     data at all — so hier stays the default; bfly remains available for
     single-register (128-lane) uses like ops/pallas/segscan.py."""
+    import os
     length = raw.shape[1]
+    if (os.environ.get("IHGNN_STAGE_KIND", "dg") == "dg"
+            and hier_eligible(length, 128)):
+        from ihgnn_tpu.ops import native
+        packed = native.route_rows_hier(raw, 128)
+        if packed is None:
+            from ihgnn_tpu.ops.benes import route_rows_hier
+            packed = route_rows_hier(raw, 128)
+        return StageTable(tab=jnp.asarray(packed), kind="dg", w=128)
     w = _pick_hier_w(length)
     if w is None:
         return StageTable(tab=jnp.asarray(raw, jnp.int32), kind="flat")

@@ -487,6 +487,181 @@ def row_local_permute_hier_int8(x: jnp.ndarray, packed: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# Dynamic-gather row-local permute (round 4 — the VERDICT r3 "measure the
+# alternative primitive" item, measured in docs/DG2_PROBE.json /
+# docs/STAGE_VARIANTS.json): tpu.dynamic_gather (jnp.take_along_axis in
+# kernel) IS available on this stack, with hard constraints discovered by
+# probe:
+#   * 2D gathers only (vector<SxLxdtype>, gather along lanes);
+#   * the gather dimension must fit ONE vreg → 128-lane blocks only
+#     ("Multiple source vregs along gather dimension" at W=256);
+#   * index bitwidth must equal data bitwidth, and 16-bit iota/indices
+#     don't survive lowering → bf16 data gathers via an in-VMEM f32
+#     upcast (still exact: pure data movement).
+# Within those constraints it beats the one-hot MXU kernels at the bench
+# stage shape [32, 2048, 1024]: f32 3.87 → 2.84 ms (exact — no bf16 hi/lo
+# split), bf16 2.80 → 2.61, and the fused permute+transpose becomes
+# profitable (3.39 vs 2.84 + 1.18 separate f32) because the body has no
+# per-row MXU issues to serialize. Uses the SAME packed hier word format
+# at W=128 (p0 | s<<10 | p2<<20), so routing and table bandwidth are
+# unchanged. Long rows (C > 2048: B > 16) keep the int8 flat kernel — the
+# unrolled exchange is O(B^2) selects.
+# ---------------------------------------------------------------------------
+
+DG_W = 128
+
+
+def _dg_row_gather(vals2d, idx1d):
+    """vals [d, w<=128]; idx [w] int32 → vals[:, idx[c]] via a single-vreg
+    tpu.dynamic_gather (32-bit dtypes only)."""
+    ib = jnp.broadcast_to(idx1d[None], vals2d.shape)
+    return jnp.take_along_axis(vals2d, ib, axis=1)
+
+
+def _dg_permute_row(x, word, w: int):
+    """One row's full hier permute on dynamic gathers: stage A (in-block
+    source shuffle), cross-block exchange (lane selects), stage B
+    (in-block placement). x [d, C] f32."""
+    b = x.shape[1] // w
+    p0 = word & 1023
+    s = (word >> 10) & 1023
+    p2 = word >> 20
+    a0 = [_dg_row_gather(x[:, j * w:(j + 1) * w], p0[j * w:(j + 1) * w])
+          for j in range(b)]
+    outs = []
+    for bb in range(b):
+        sb = s[bb * w:(bb + 1) * w].reshape(1, w)
+        acc = a0[0]
+        for j in range(1, b):
+            acc = jnp.where(sb == j, a0[j], acc)
+        outs.append(_dg_row_gather(acc, p2[bb * w:(bb + 1) * w]))
+    return jnp.concatenate(outs, axis=1)
+
+
+def _dg_kernel(x_ref, p_ref, o_ref, *, w: int):
+    d, rows, c = x_ref.shape
+    up = x_ref.dtype != jnp.float32
+    for r in range(rows):
+        x = x_ref[:, r, :]
+        if up:
+            x = x.astype(jnp.float32)
+        out = _dg_permute_row(x, p_ref[r, :], w)
+        o_ref[:, r, :] = out.astype(o_ref.dtype)
+
+
+def dg_ok(d: int, r: int, c: int, dtype) -> bool:
+    """Shapes/dtypes the dynamic-gather kernel handles: 128-lane blocks,
+    unrolled exchange bounded at B <= 16 (like the hier kernel), 32-bit
+    gathers (bf16 rides the f32 upcast)."""
+    if dtype not in (jnp.float32, jnp.bfloat16):
+        return False
+    rows = _rlp_rows(d, r, c, dtype)
+    isz = jnp.dtype(dtype).itemsize
+    tile = d * rows * c * (isz + 4)     # io block + f32 upcast temporaries
+    return (r % rows == 0 and c % DG_W == 0 and c // DG_W <= 16
+            and tile + (4 << 20) <= 80 << 20)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def row_local_permute_dg(x: jnp.ndarray, packed: jnp.ndarray,
+                         interpret: bool = False) -> jnp.ndarray:
+    """x: [d, R, C]; packed hier tables [R, C] int32 (route_rows_hier at
+    W=128) → out[:, r, c] = x[:, r, full_perm[r, c]] — exact in all
+    supported dtypes (pure data movement)."""
+    d, r, c = x.shape
+    assert packed.shape == (r, c), (packed.shape, x.shape)
+    assert dg_ok(d, r, c, x.dtype), (x.shape, x.dtype)
+    rows = _rlp_rows(d, r, c, x.dtype)
+    return pl.pallas_call(
+        functools.partial(_dg_kernel, w=DG_W),
+        grid=(r // rows,),
+        in_specs=[
+            pl.BlockSpec((d, rows, c), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, c), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((d, rows, c), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((d, r, c), x.dtype),
+        compiler_params=_RLP_VMEM,
+        interpret=interpret,
+    )(x, packed)
+
+
+def _tlp_dg_kernel(x_hbm, p_ref, o_ref, xv, y_ref, sem, *, w: int):
+    """Fused dg-permute + block transpose: at i == 0 DMA the [d, RT, C]
+    row tile and permute it IN PLACE in scratch (16-row fori groups keep
+    the Mosaic program small); each chunk stores one in-VMEM swapaxes."""
+    d, rt, c = xv.shape
+    i = pl.program_id(1)
+    j = pl.program_id(0)
+    grp = 16
+    up = xv.dtype != jnp.float32
+
+    @pl.when(i == 0)
+    def _fetch_and_permute():
+        dma = pltpu.make_async_copy(x_hbm.at[:, pl.ds(j * rt, rt), :],
+                                    xv, sem)
+        dma.start()
+        dma.wait()
+
+        def body(g, _):
+            rows_sl = pl.ds(g * grp, grp)
+            xg = xv[:, rows_sl, :]
+            wordg = p_ref[rows_sl, :]
+            outs = []
+            for rr in range(grp):
+                x = xg[:, rr, :]
+                if up:
+                    x = x.astype(jnp.float32)
+                outs.append(_dg_permute_row(x, wordg[rr, :], w)
+                            .astype(xv.dtype))
+            xv[:, rows_sl, :] = jnp.stack(outs, axis=1)
+            return 0
+
+        jax.lax.fori_loop(0, rt // grp, body, 0, unroll=False)
+
+    off = pl.multiple_of(i * CHUNK, CHUNK)
+    y_ref[...] = xv[:, :, pl.ds(off, CHUNK)]
+    o_ref[...] = jnp.swapaxes(y_ref[...], 1, 2)
+
+
+def tlp_dg_ok(d: int, r: int, c: int, dtype) -> bool:
+    if not dg_ok(d, r, c, dtype) or r % TLP_RT:
+        return False
+    tile = d * TLP_RT * c * jnp.dtype(dtype).itemsize
+    return 2 * tile + (8 << 20) <= _TLP_BUDGET
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def transposed_local_permute_dg(x: jnp.ndarray, packed: jnp.ndarray,
+                                interpret: bool = False) -> jnp.ndarray:
+    """x: [d, R, C]; packed W=128 hier tables [R, C] → out [d, C, R] with
+    out[:, c, r] = x[:, r, full_perm[r, c]] (= bt(rlp_dg(x)), one HBM
+    round-trip)."""
+    d, r, c = x.shape
+    assert packed.shape == (r, c), (packed.shape, x.shape)
+    assert tlp_dg_ok(d, r, c, x.dtype), (x.shape, x.dtype)
+    return pl.pallas_call(
+        functools.partial(_tlp_dg_kernel, w=DG_W),
+        grid=(r // TLP_RT, c // CHUNK),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec((TLP_RT, c), lambda j, i: (j, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((d, CHUNK, TLP_RT), lambda j, i: (0, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((d, c, r), x.dtype),
+        scratch_shapes=[pltpu.VMEM((d, TLP_RT, c), x.dtype),
+                        pltpu.VMEM((d, TLP_RT, CHUNK), x.dtype),
+                        pltpu.SemaphoreType.DMA],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_TLP_BUDGET + (16 << 20)),
+        interpret=interpret,
+    )(x, packed)
+
+
+# ---------------------------------------------------------------------------
 # Hierarchical row-local permute (second Clos level, ops/benes.py
 # route_rows_hier): each length-C row is itself a routed [B, W=128] grid, so
 # the per-output one-hot depth drops from C to 2·W (two in-block MXU
@@ -930,7 +1105,7 @@ def unpack_bfly_perm(words: jnp.ndarray, w: int = HIER_W) -> jnp.ndarray:
 
 def unpack_stage_perm(st: "StageTable") -> jnp.ndarray:
     """Full per-row permutation of any StageTable packing (XLA twins)."""
-    if st.kind == "hier":
+    if st.kind in ("hier", "dg"):      # dg = hier word format at W=128
         return unpack_hier_perm(st.tab, st.w)
     if st.kind == "bfly":
         return unpack_bfly_perm(st.tab)
@@ -944,9 +1119,12 @@ class StageTable:
     * kind="flat" — raw per-row permutation, one-hot MXU kernel
     * kind="hier" — packed hierarchical Clos word (p0|s|p2), two
       ``w``-deep one-hot MXU levels + a C/w-way exchange
+    * kind="dg"   — same packed word format at W=128, executed with
+      tpu.dynamic_gather in-block levels (round 4 default: beats the
+      one-hots at every measured short-row shape and is exact in all
+      dtypes — docs/DG2_PROBE.json)
     * kind="bfly" — packed butterfly word (ops/bfly.py), pure-VPU
-      roll+select kernel (preferred: exact in all dtypes, ~5x less
-      compute than the one-hots at d=32)
+      roll+select kernel (measured dead end, kept for experiments)
 
     ``kind`` and ``w`` are trace-static (not pytree leaves) so kernel
     dispatch stays a Python branch under jit."""

@@ -205,6 +205,184 @@ def _segsum_kernel(tile_ptr_ref, values_t_hbm, ids_hbm, out_ref, acc, vbuf,
     out_ref[...] = acc[...]
 
 
+# ---------------------------------------------------------------------------
+# Three-region variant: the hypergraph scatter sums a [u | q | i] concat of
+# three [d, E_pad] role streams (ops/hyperagg._segsum_regions). Materializing
+# that concat costs a full extra [d, 3E] HBM round-trip per call (~1 ms at
+# the 2M-edge bench, 4 calls/step). Here the kernel takes the three streams
+# as SEPARATE HBM refs and each DMA block picks its source ref by region
+# (traced `pl.when` branches around the async-copy start/wait — regions are
+# block-aligned because E_pad is a multiple of the DMA block).
+# ---------------------------------------------------------------------------
+
+
+def _make_segsum3_kernel(out_transposed: bool, block: int, sub: int):
+    def kernel(*args):
+        _segsum3_kernel(*args, out_transposed=out_transposed, block=block,
+                        sub=sub)
+    return kernel
+
+
+def _segsum3_kernel(tile_ptr_ref, vu_hbm, vq_hbm, vi_hbm, ids_hbm, out_ref,
+                    acc, vbuf, nbuf, sems, ctr, out_transposed=False,
+                    block=BLOCK, sub=SUB):
+    """_segsum_kernel with the value stream split across three region refs
+    (same global streaming-DMA pipeline; see _segsum_kernel)."""
+    nsub = block // SUB
+    t = pl.program_id(0)
+    start = tile_ptr_ref[t]
+    end = tile_ptr_ref[t + 1]
+    node_base = t * TILE_N
+    total_blocks = ids_hbm.shape[0] // nsub
+    bpr = total_blocks // 3                    # blocks per region
+
+    g0 = start // block
+    g1 = jnp.where(end > start, (end - 1) // block, g0 - 1)
+
+    @pl.when(t == 0)
+    def _():
+        ctr[0] = 0
+        ctr[1] = 0
+
+    def id_dma(g):
+        return pltpu.make_async_copy(
+            ids_hbm.at[pl.ds(g * nsub, nsub), :],
+            nbuf.at[jax.lax.rem(g, NBUF)],
+            sems.at[jax.lax.rem(g, NBUF), 1])
+
+    def val_dma(ref, g, ridx):
+        local = g - ridx * bpr
+        return pltpu.make_async_copy(
+            ref.at[:, pl.ds(pl.multiple_of(local * block, block), block)],
+            vbuf.at[jax.lax.rem(g, NBUF)],
+            sems.at[jax.lax.rem(g, NBUF), 0])
+
+    def start_dmas(g):
+        for ridx, ref in enumerate((vu_hbm, vq_hbm, vi_hbm)):
+            @pl.when(g // bpr == ridx)
+            def _(ref=ref, ridx=ridx):
+                val_dma(ref, g, ridx).start()
+        id_dma(g).start()
+
+    def wait_dmas(g):
+        for ridx, ref in enumerate((vu_hbm, vq_hbm, vi_hbm)):
+            @pl.when(g // bpr == ridx)
+            def _(ref=ref, ridx=ridx):
+                val_dma(ref, g, ridx).wait()
+        id_dma(g).wait()
+
+    acc[...] = jnp.zeros_like(acc)
+
+    def body(g, _):
+        tgt = jnp.minimum(g + NBUF - 1, total_blocks - 1)
+
+        def fetch(gg, _):
+            start_dmas(gg)
+            return 0
+
+        fetched = ctr[0]
+        jax.lax.fori_loop(jnp.maximum(fetched, g), tgt + 1, fetch, 0)
+        ctr[0] = jnp.maximum(fetched, tgt + 1)
+
+        def wait1(gg, _):
+            wait_dmas(gg)
+            return 0
+
+        waited = ctr[1]
+        jax.lax.fori_loop(jnp.maximum(waited, g), g + 1, wait1, 0)
+        ctr[1] = jnp.maximum(waited, g + 1)
+
+        slot = jax.lax.rem(g, NBUF)
+        for j in range(block // sub):
+            nodes = nbuf[slot][j].reshape(1, SUB)
+            local = nodes - node_base
+            onehot = (jax.lax.broadcasted_iota(jnp.int32, (TILE_N, sub), 0)
+                      == local).astype(jnp.bfloat16)
+            v = vbuf[slot][:, j * sub:(j + 1) * sub]
+            d = v.shape[0]
+            if v.dtype == jnp.bfloat16:
+                vs = v
+            else:
+                vhi = v.astype(jnp.bfloat16)
+                vlo = (v - vhi.astype(jnp.float32)).astype(jnp.bfloat16)
+                vs = jnp.concatenate([vhi, vlo], axis=0)
+            dims = (((1,), (1,)), ((), ()))
+            if out_transposed:
+                both = jax.lax.dot_general(
+                    vs, onehot, dimension_numbers=dims,
+                    preferred_element_type=jnp.float32)
+                acc[...] += both if vs is v else both[:d] + both[d:]
+            else:
+                both = jax.lax.dot_general(
+                    onehot, vs, dimension_numbers=dims,
+                    preferred_element_type=jnp.float32)
+                acc[...] += both if vs is v else both[:, :d] + both[:, d:]
+        return 0
+
+    jax.lax.fori_loop(g0, g1 + 1, body, 0, unroll=False)
+
+    @pl.when(t == pl.num_programs(0) - 1)
+    def _():
+        def wfin(gg, _):
+            wait_dmas(gg)
+            return 0
+
+        jax.lax.fori_loop(ctr[1], ctr[0], wfin, 0)
+
+    out_ref[...] = acc[...]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_segments", "interpret",
+                                    "out_transposed", "block"))
+def csr_segment_sum3_t(vu_t: jnp.ndarray, vq_t: jnp.ndarray,
+                       vi_t: jnp.ndarray, segment_ids_2d: jnp.ndarray,
+                       tile_ptr: jnp.ndarray, num_segments: int,
+                       interpret: bool = False,
+                       out_transposed: bool = False,
+                       block: int = BLOCK) -> jnp.ndarray:
+    """``csr_segment_sum_t`` over the virtual concat [vu | vq | vi] of
+    three equal-width [d, E_pad] region streams — no concat materialized.
+    ``segment_ids_2d``/``tile_ptr`` address the 3*E_pad concat layout."""
+    d, e_pad = vu_t.shape
+    assert vq_t.shape == vi_t.shape == (d, e_pad), (vu_t.shape, vq_t.shape)
+    assert e_pad % block == 0, (e_pad, block)
+    n_tiles = tile_ptr.shape[0] - 1
+    n_pad = n_tiles * TILE_N
+
+    if out_transposed:
+        out_spec = pl.BlockSpec((d, TILE_N), lambda t, ptr: (0, t),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((d, n_pad), jnp.float32)
+        acc_shape = (d, TILE_N)
+    else:
+        out_spec = pl.BlockSpec((TILE_N, d), lambda t, ptr: (t, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((n_pad, d), jnp.float32)
+        acc_shape = (TILE_N, d)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 4,
+        out_specs=out_spec,
+        scratch_shapes=[
+            pltpu.VMEM(acc_shape, jnp.float32),
+            pltpu.VMEM((NBUF, d, block), vu_t.dtype),
+            pltpu.VMEM((NBUF, block // SUB, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA((NBUF, 2)),
+            pltpu.SMEM((2,), jnp.int32),
+        ],
+    )
+    out = pl.pallas_call(
+        _make_segsum3_kernel(out_transposed, block, SUB),
+        out_shape=out_shape,
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(tile_ptr, vu_t, vq_t, vi_t, segment_ids_2d)
+    return out[:, :num_segments] if out_transposed else out[:num_segments]
+
+
 @functools.partial(jax.jit,
                    static_argnames=("num_segments", "interpret",
                                     "out_transposed", "block", "sub"))

@@ -199,3 +199,43 @@ def test_sigma_pack_mid_scale_twins():
     ref = np.zeros((d, n), np.float32)
     np.add.at(ref.T, inc_node, ef_edge[:, inc_edge].T)
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_segsum3_regions_interpret():
+    """csr_segment_sum3_t over three region refs == csr_segment_sum_t over
+    their concat (the hypergraph scatter's concat-free path, round 4)."""
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+    from ihgnn_tpu.ops.pallas.segsum import (csr_segment_sum3_t,
+                                             csr_segment_sum_t,
+                                             pack_csr_tiles)
+    rng = np.random.default_rng(11)
+    e_pad, n, d = 2048, 300, 8
+    # region layout [u | q | i]: per-region sorted ids with sentinel tails
+    regions, ids_all = [], []
+    for r in range(3):
+        k = int(rng.integers(e_pad // 2, e_pad - 7))
+        ids = np.sort(rng.integers(0, n, k)).astype(np.int32)
+        ids_all.append(np.concatenate(
+            [ids, np.full(e_pad - k, 2**31 - 1, np.int32)]))
+        regions.append(rng.standard_normal((d, e_pad)).astype(np.float32))
+    ids_cat = np.concatenate(ids_all)
+    # tile_ptr over the concat layout (piecewise like ops/packing.py)
+    bounds = np.arange(0, ((n + 127) // 128 + 1) * 128, 128)
+    p0 = np.searchsorted(ids_all[0], bounds)
+    p1 = np.searchsorted(ids_all[1], bounds)
+    p2 = np.searchsorted(ids_all[2], bounds)
+    k0 = (ids_all[0] < 2**31 - 1).sum()
+    k1 = (ids_all[1] < 2**31 - 1).sum()
+    tile_ptr = np.where(p0 < k0, p0,
+                        np.where(p1 < k1, e_pad + p1,
+                                 2 * e_pad + p2)).astype(np.int32)
+    ids2d = jnp.asarray(ids_cat.reshape(-1, 128))
+    ptr = jnp.asarray(tile_ptr)
+    with pltpu.force_tpu_interpret_mode():
+        out3 = csr_segment_sum3_t(*(jnp.asarray(r) for r in regions),
+                                  ids2d, ptr, n, out_transposed=True)
+        out1 = csr_segment_sum_t(jnp.asarray(np.concatenate(regions, 1)),
+                                 ids2d, ptr, n, out_transposed=True)
+    np.testing.assert_allclose(np.asarray(out3), np.asarray(out1),
+                               rtol=1e-5, atol=1e-5)

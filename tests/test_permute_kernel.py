@@ -216,3 +216,50 @@ def test_row_local_permute_hier_wide_blocks(w):
         out = row_local_permute_hier(xj, jnp.asarray(packed),
                                      interpret=True, w=w)
         np.testing.assert_array_equal(np.asarray(out, np.float32), ref)
+
+
+def test_dg_kernels_interpret():
+    """Dynamic-gather permute kernels (round 4): row_local_permute_dg and
+    the fused transposed_local_permute_dg match take_along_axis for f32
+    and bf16 (bf16 rides the in-VMEM f32 upcast — exact data movement)."""
+    from ihgnn_tpu.ops.benes import route_rows_hier
+    from ihgnn_tpu.ops.pallas.permute import (dg_ok, row_local_permute_dg,
+                                              tlp_dg_ok,
+                                              transposed_local_permute_dg)
+    rng = np.random.default_rng(3)
+    d, r, c = 8, 128, 512
+    perm = np.stack([rng.permutation(c) for _ in range(r)]).astype(np.int32)
+    packed = jnp.asarray(route_rows_hier(perm, 128))
+    for dt in (jnp.float32, jnp.bfloat16):
+        x = jnp.asarray(rng.standard_normal((d, r, c)).astype(np.float32)
+                        ).astype(dt)
+        ref = np.take_along_axis(np.asarray(x.astype(jnp.float32)),
+                                 np.broadcast_to(perm[None], (d, r, c)),
+                                 axis=2)
+        assert dg_ok(d, r, c, dt)
+        out = row_local_permute_dg(x, packed, interpret=True)
+        np.testing.assert_array_equal(
+            np.asarray(out.astype(jnp.float32)), ref)
+        assert tlp_dg_ok(d, r, c, dt)
+        out_t = transposed_local_permute_dg(x, packed, interpret=True)
+        np.testing.assert_array_equal(
+            np.asarray(jnp.swapaxes(out_t, 1, 2).astype(jnp.float32)), ref)
+
+
+def test_dg_kernel_nan_inf_transport():
+    """dg permutes transport NaN/inf/-0 bit patterns unchanged (pure data
+    movement — no arithmetic touches the values)."""
+    from ihgnn_tpu.ops.benes import route_rows_hier
+    from ihgnn_tpu.ops.pallas.permute import row_local_permute_dg
+    rng = np.random.default_rng(4)
+    d, r, c = 8, 128, 256
+    perm = np.stack([rng.permutation(c) for _ in range(r)]).astype(np.int32)
+    packed = jnp.asarray(route_rows_hier(perm, 128))
+    x = rng.standard_normal((d, r, c)).astype(np.float32)
+    x[0, 0, 5] = np.nan
+    x[1, 3, 7] = np.inf
+    x[2, 5, 9] = -0.0
+    out = np.asarray(row_local_permute_dg(jnp.asarray(x), packed,
+                                          interpret=True))
+    ref = np.take_along_axis(x, np.broadcast_to(perm[None], x.shape), axis=2)
+    np.testing.assert_array_equal(out.view(np.uint32), ref.view(np.uint32))

@@ -89,6 +89,9 @@ def main():
     ap.add_argument("--model", default="rawgnn", choices=("rawgnn", "srrl"),
                     help="which model family to compare; results merge "
                          "into --out under a per-model section")
+    ap.add_argument("--section", default=None,
+                    help="PARITY.json section name (default: the model "
+                         "name); e.g. 'cikm' for the CIKM-shaped run")
     args = ap.parse_args()
 
     if args.fresh_dataset or not os.path.isdir(args.dataset):
@@ -129,7 +132,7 @@ def main():
             existing = json.load(fh)
         if "summary" in existing:                    # legacy flat layout
             existing = {"rawgnn": existing}
-    existing[args.model] = section
+    existing[args.section or args.model] = section
     with open(args.out, "w") as fh:
         json.dump(existing, fh, indent=1)
 
