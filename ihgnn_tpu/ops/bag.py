@@ -48,11 +48,21 @@ class BagPack:
     ids2d: Any           # [K_pad/128, 128] int32 — sorted word table rows
     #                      in pre-p2 ("t1") order, sentinels on the tail
     tile_ptr: Any        # [T+1] int32
+    # forward-side segment-sum operands (round 4): the fwd chain stops
+    # BEFORE its final Clos stage and the weighted per-query mean runs as
+    # a CSR segment-sum whose ids absorb fwd_p2 (query ids at fwd-t1
+    # positions) — one stage pass and the [d, Q, L] reduce both fold into
+    # the segsum. ``weight_t1`` carries the mask/count weights at the
+    # same t1 positions.
+    qids2d: Any = None   # [K_pad/128, 128] int32
+    qtile_ptr: Any = None  # [Tq+1] int32
+    weight_t1: Any = None  # [K_pad] f32
     bag_l: int = struct.field(pytree_node=False, default=0)
     k: int = struct.field(pytree_node=False, default=0)        # true Q*L
     rows: int = struct.field(pytree_node=False, default=0)
     cols: int = struct.field(pytree_node=False, default=0)
     vocab_rows: int = struct.field(pytree_node=False, default=0)
+    q_count: int = struct.field(pytree_node=False, default=0)
 
     @property
     def k_pad(self) -> int:
@@ -81,19 +91,42 @@ def make_bag_pack(query_words: np.ndarray, query_word_counts: np.ndarray,
     order = np.argsort(words, kind="stable")
     rank = np.empty(k, np.int64)
     rank[order] = np.arange(k)
+    raw = {}
     with ThreadPoolExecutor(max_workers=8) as pool:
         rp, ids_t1, sorted_words = _role_pack(words, order, rank, rows, cols,
-                                              pool)
+                                              pool, raw_out=raw)
     tile_ptr, _ = pack_csr_tiles(sorted_words.astype(np.int32), vocab_rows)
 
-    weight_pad = np.zeros(rows * cols, np.float32)
+    k_pad = rows * cols
+    weight_pad = np.zeros(k_pad, np.float32)
     weight_pad[:k] = weight
+
+    # forward query-segsum layout: the fwd chain's final stage fwd_p2 is
+    # absorbed by storing query ids (and weights) at PRE-p2 ("t1")
+    # positions — the value at t1 (r, f2[r, c]) belongs to final (r, c),
+    # whose query id is (r*C + c) // bag_l. Pads get sentinels (dropped).
+    f2 = np.asarray(raw["f2"], np.int64)
+    sent = 2**31 - 1
+    qid_final = np.where(np.arange(k_pad) < k, np.arange(k_pad) // bag_l,
+                         sent).astype(np.int64)
+    qids_t1 = np.empty((rows, cols), np.int64)
+    np.put_along_axis(qids_t1, f2, qid_final.reshape(rows, cols), axis=1)
+    w_t1 = np.empty((rows, cols), np.float32)
+    np.put_along_axis(w_t1, f2, weight_pad.reshape(rows, cols), axis=1)
+    q = k // bag_l
+    qtile_ptr, _ = pack_csr_tiles((np.arange(k) // bag_l).astype(np.int32),
+                                  q)
+
     return BagPack(
         rp=rp,
         weight=jnp.asarray(weight_pad),
         ids2d=jnp.asarray(np.asarray(ids_t1).reshape(-1, 128)),
         tile_ptr=jnp.asarray(tile_ptr),
+        qids2d=jnp.asarray(qids_t1.reshape(-1, 128).astype(np.int32)),
+        qtile_ptr=jnp.asarray(qtile_ptr),
+        weight_t1=jnp.asarray(w_t1.reshape(-1)),
         bag_l=bag_l, k=k, rows=rows, cols=cols, vocab_rows=vocab_rows,
+        q_count=q,
     )
 
 
@@ -105,10 +138,33 @@ def _bag_fwd_impl(vocab_table, pack):
     src_pad = pack.rp.gather.src_pad
     x_pad = jnp.pad(vocab_table.T,
                     ((0, 0), (0, src_pad - vocab_table.shape[0])))
-    k_stream = _role_forward(x_pad, pack.rp, pack.rows, pack.cols)
-    vals = (k_stream[:, :pack.k] * pack.weight[None, :pack.k]
-            ).reshape(d, q, bag_l)
-    return jnp.sum(vals, axis=2)                               # [d, Q]
+    if pack.qids2d is None:      # legacy pack: full chain + [d, Q, L] sum
+        k_stream = _role_forward(x_pad, pack.rp, pack.rows, pack.cols)
+        vals = (k_stream[:, :pack.k] * pack.weight[None, :pack.k]
+                ).reshape(d, q, bag_l)
+        return jnp.sum(vals, axis=2)                           # [d, Q]
+    # round 4: stop the chain at t1 (pre-fwd_p2) and run the weighted
+    # per-query mean as a CSR segment-sum whose ids absorb fwd_p2 — one
+    # stage pass and the reduce fold into the segsum (VERDICT r3 item 7)
+    from ihgnn_tpu.ops.hyperagg import _bt, _expand, _expand_t, _rlp_bt
+    from ihgnn_tpu.ops.pallas.gather import EXP_RT, exp_t_vmem_ok
+    ep = pack.rp.gather
+    if (ep.idx.shape[0] == pack.rows and ep.idx.shape[1] * 128 == pack.cols
+            and pack.rows % EXP_RT == 0
+            and exp_t_vmem_ok(d, ep.w, x_pad.dtype)):
+        t0 = _expand_t(x_pad, ep, pack.rows, pack.cols)
+    else:
+        t0 = _bt(_expand(x_pad, ep).reshape(d, pack.rows, pack.cols))
+    t1 = _rlp_bt(t0, pack.rp.fwd_p1).reshape(d, pack.k_pad)
+    vals = t1 * pack.weight_t1[None, :]
+    if _kernels_active():
+        return csr_segment_sum_t(vals, pack.qids2d, pack.qtile_ptr, q,
+                                 out_transposed=True)
+    ids = pack.qids2d.reshape(-1)
+    valid = ids < q
+    vals_m = jnp.where(valid[None, :], vals, 0).astype(jnp.float32)
+    return jax.ops.segment_sum(vals_m.T, jnp.where(valid, ids, 0),
+                               num_segments=q).T.astype(vals.dtype)
 
 
 def _bag_grad_impl(cot, pack, table_rows):

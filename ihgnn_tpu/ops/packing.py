@@ -205,7 +205,7 @@ def _pad_perm(perm: np.ndarray, e_pad: int) -> np.ndarray:
 
 def _role_pack(role_ids: np.ndarray, order: np.ndarray, rank: np.ndarray,
                rows: int, cols: int, pool: ThreadPoolExecutor,
-               with_bwd: bool = True):
+               with_bwd: bool = True, raw_out: Optional[dict] = None):
     """Build (RolePack, segsum ids in t1 order) for one role.
 
     role_ids: [E] endpoint node ids in edge order.
@@ -226,6 +226,10 @@ def _role_pack(role_ids: np.ndarray, order: np.ndarray, rank: np.ndarray,
                             sorted_ids.dtype)])
 
     f0, f1, f2 = fwd_f.result()
+    if raw_out is not None:
+        # callers that absorb the forward's final stage into their own
+        # consumer ids need the RAW table (ops/bag.py query-segsum)
+        raw_out["f2"] = f2
     # compose expand with the forward stage-0 shuffle: stage 0 reads
     # in-row positions, so the fused source id is sorted_pad[r*C + f0[r,c]]
     # and rows stay banded (the window is the row's sorted-id range);
