@@ -97,11 +97,24 @@ def main():
         # compiled-collective stats: the program's real comm volume, so
         # CPU-mesh efficiency can be read against comm rather than host
         # contention (utils/hlo_stats.py)
-        from ihgnn_tpu.utils.hlo_stats import collective_stats, comm_bytes
+        from ihgnn_tpu.utils.hlo_stats import (collective_stats,
+                                               collective_table, comm_bytes)
         compiled = step.inner.lower(state, *step.bound_args,
                                     batch).compile()
         hlo = compiled.as_text()
         stats = collective_stats(hlo)
+        # per-array attribution (VERDICT r3 item 4): group the table rows
+        # by (kind, attribution) so the artifact names WHICH arrays ride
+        # each collective, not just one opaque byte sum
+        by_array = {}
+        for row in collective_table(hlo):
+            key = f"{row['kind']}:{row['attribution']}"
+            g = by_array.setdefault(key, {"count": 0, "bytes": 0,
+                                          "shapes": []})
+            g["count"] += 1
+            g["bytes"] += row["bytes"]
+            if row["shape"] not in g["shapes"] and len(g["shapes"]) < 4:
+                g["shapes"].append(row["shape"])
 
         state, loss = step(state, batch)
         float(loss)  # scalar fetch: block_until_ready is unreliable on axon
@@ -121,6 +134,8 @@ def main():
             "scaling_efficiency": round(eff, 3),
             "comm_bytes_per_step": comm_bytes(hlo),
             "collectives": stats,
+            "collectives_by_array": dict(sorted(
+                by_array.items(), key=lambda kv: -kv[1]["bytes"])),
         }))
 
 

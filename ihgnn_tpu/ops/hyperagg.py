@@ -251,9 +251,10 @@ def _sig_inverse(y, rp, rows, cols):
     segment-sum ids (packing.py σ layout). σ packs only."""
     d = y.shape[0]
     g = y.reshape(d, rows, cols)
-    if rp.inv_p2 is not None:
-        g = _rlp(g, rp.inv_p2)
-    out = _rlp_bt(_bt(g), rp.inv_p1)            # [d, C, R] → [d, R, C]
+    # inv_p2 (i role) fuses with the following transpose: _rlp_bt(g, p2)
+    # == _bt(_rlp(g, p2)), one HBM pass instead of two (tlp_dg kernel)
+    gt = _rlp_bt(g, rp.inv_p2) if rp.inv_p2 is not None else _bt(g)
+    out = _rlp_bt(gt, rp.inv_p1)                # [d, C, R] → [d, R, C]
     return out.reshape(d, rows * cols)
 
 

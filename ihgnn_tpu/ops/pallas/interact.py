@@ -30,7 +30,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLK = 2048           # edge columns per program
+import os
+
+BLK = int(os.environ.get("IHGNN_INTERACT_BLK", "2048"))  # edge cols/program
 
 ORDER_PARTS = {1: 3, 2: 6, 3: 7}
 
@@ -56,6 +58,76 @@ def _fwd_kernel(u_ref, q_ref, i_ref, w_ref, b_ref, o_ref, *, order):
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
     o_ref[...] = (acc + b_ref[...]).astype(o_ref.dtype)
+
+
+def _fwd_kernel_batchk(u_ref, q_ref, i_ref, w_ref, b_ref, o_ref, *, order):
+    """Batched-K forward: stack the parts on the sublane axis and run ONE
+    [n*d → out] matmul. The per-part loop issues n [d=32, out=32] MXU
+    matmuls per block — each fills 1/16 of the systolic array (M=K=32);
+    stacking raises K to n*d (224 at order 3) for ~n/2x fewer MXU
+    cycles. The stack is a bf16 sublane concat (NOT the int8 trap shape;
+    validated in the composed bench per CLAUDE.md rule)."""
+    u, q, i = u_ref[...], q_ref[...], i_ref[...]
+    pstack = jnp.concatenate(
+        [p.astype(jnp.bfloat16) for p in _parts(u, q, i, order)], axis=0)
+    acc = jax.lax.dot_general(
+        w_ref[...].astype(jnp.bfloat16), pstack,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[...] = (acc + b_ref[...]).astype(o_ref.dtype)
+
+
+def _bwd_kernel_batchk(u_ref, q_ref, i_ref, w_ref, c_ref, du_ref, dq_ref,
+                       di_ref, dw_ref, db_ref, dw_acc, db_acc, *, order):
+    """Batched-K backward: ONE [n*d, out]·[out, BLK] matmul for all
+    dparts and ONE [n*d, BLK]·[BLK, out] for dW (the per-part loop
+    issues 2n matmuls at M=K=32 — 1/16 MXU occupancy each)."""
+    t = pl.program_id(0)
+    u, q, i = u_ref[...], q_ref[...], i_ref[...]
+    cot = c_ref[...]                                    # [out, BLK]
+    cot_b = cot.astype(jnp.bfloat16)
+    d = u.shape[0]
+    parts = _parts(u, q, i, order)
+    if u.dtype == jnp.bfloat16:
+        u, q, i = (a.astype(jnp.float32) for a in (u, q, i))
+
+    @pl.when(t == 0)
+    def _():
+        dw_acc[...] = jnp.zeros_like(dw_acc)
+        db_acc[...] = jnp.zeros_like(db_acc)
+
+    pstack = jnp.concatenate([p.astype(jnp.bfloat16) for p in parts],
+                             axis=0)                    # [n*d, BLK]
+    dp_all = jax.lax.dot_general(                       # [n*d, BLK]
+        w_ref[...].astype(jnp.bfloat16), cot_b,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dw_acc[...] += jax.lax.dot_general(                 # [n*d, out]
+        pstack, cot_b,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    db_acc[...] += jnp.sum(cot.astype(jnp.float32), axis=1, keepdims=True)
+
+    dparts = [dp_all[j * d:(j + 1) * d, :] for j in range(len(parts))]
+    du = dparts[0]
+    dq = dparts[1]
+    di = dparts[2]
+    if order >= 2:
+        du += dparts[3] * q + dparts[5] * i
+        dq += dparts[3] * u + dparts[4] * i
+        di += dparts[4] * q + dparts[5] * u
+    if order >= 3:
+        du += dparts[6] * (q * i)
+        dq += dparts[6] * (u * i)
+        di += dparts[6] * (u * q)
+    du_ref[...] = du.astype(du_ref.dtype)
+    dq_ref[...] = dq.astype(dq_ref.dtype)
+    di_ref[...] = di.astype(di_ref.dtype)
+
+    @pl.when(t == pl.num_programs(0) - 1)
+    def _():
+        dw_ref[...] = dw_acc[...]
+        db_ref[...] = db_acc[...]
 
 
 def _bwd_kernel(u_ref, q_ref, i_ref, w_ref, c_ref, du_ref, dq_ref, di_ref,
@@ -118,6 +190,11 @@ def _full_spec():
     return pl.BlockSpec(memory_space=pltpu.VMEM)
 
 
+def _batchk() -> bool:
+    import os
+    return os.environ.get("IHGNN_INTERACT_BATCHK", "1") == "1"
+
+
 @functools.partial(jax.jit, static_argnames=("order", "interpret"))
 def interact_fwd(u_t, q_t, i_t, w, b2, order: int, interpret: bool = False):
     """u/q/i: [d, E] (E % BLK == 0); w: [parts*d, out]; b2: [out, 1]
@@ -127,7 +204,8 @@ def interact_fwd(u_t, q_t, i_t, w, b2, order: int, interpret: bool = False):
     assert e % BLK == 0, e
     assert w.shape[0] == ORDER_PARTS[order] * d, (w.shape, order, d)
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, order=order),
+        functools.partial(_fwd_kernel_batchk if _batchk() else _fwd_kernel,
+                          order=order),
         grid=(e // BLK,),
         in_specs=[_role_spec(d), _role_spec(d), _role_spec(d),
                   _full_spec(), _full_spec()],
@@ -145,7 +223,8 @@ def interact_bwd(u_t, q_t, i_t, w, cot, order: int, interpret: bool = False):
     out_dim = w.shape[1]
     n_parts = ORDER_PARTS[order]
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, order=order),
+        functools.partial(_bwd_kernel_batchk if _batchk() else _bwd_kernel,
+                          order=order),
         grid=(e // BLK,),
         in_specs=[_role_spec(d), _role_spec(d), _role_spec(d),
                   _full_spec(),

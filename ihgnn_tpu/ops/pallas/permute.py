@@ -518,6 +518,24 @@ def _dg_row_gather(vals2d, idx1d):
     return jnp.take_along_axis(vals2d, ib, axis=1)
 
 
+def _dg_widen(x):
+    """bf16 [d, C] → uint32 [d/2, C] via the sublane-packing bitcast.
+    Lanes keep their column identity (the vreg is reinterpreted in
+    place), so lane-wise gathers/selects on the u32 view move bf16 PAIRS
+    exactly — bit-exact by construction and HALF the vreg work of the
+    old f32-upcast path (which doubled the data instead of halving the
+    row count)."""
+    if x.dtype == jnp.bfloat16:
+        return pltpu.bitcast(x, jnp.uint32)
+    return x
+
+
+def _dg_narrow(x, dtype):
+    if dtype == jnp.bfloat16:
+        return pltpu.bitcast(x, jnp.bfloat16)
+    return x.astype(dtype)
+
+
 def _dg_permute_row(x, word, w: int):
     """One row's full hier permute on dynamic gathers: stage A (in-block
     source shuffle), cross-block exchange (lane selects), stage B
@@ -531,33 +549,47 @@ def _dg_permute_row(x, word, w: int):
     outs = []
     for bb in range(b):
         sb = s[bb * w:(bb + 1) * w].reshape(1, w)
-        acc = a0[0]
-        for j in range(1, b):
-            acc = jnp.where(sb == j, a0[j], acc)
+        if b & (b - 1) == 0 and b > 1:
+            # binary mux tree: log2(b) lane-mask computes + b-1 vselects
+            # (the linear chain pays b-1 compares on top of the selects)
+            cur = list(a0)
+            k = 0
+            while len(cur) > 1:
+                m = ((sb >> k) & 1) == 1
+                cur = [jnp.where(m, cur[j + 1], cur[j])
+                       for j in range(0, len(cur), 2)]
+                k += 1
+            acc = cur[0]
+        else:
+            acc = a0[0]
+            for j in range(1, b):
+                acc = jnp.where(sb == j, a0[j], acc)
         outs.append(_dg_row_gather(acc, p2[bb * w:(bb + 1) * w]))
     return jnp.concatenate(outs, axis=1)
 
 
 def _dg_kernel(x_ref, p_ref, o_ref, *, w: int):
     d, rows, c = x_ref.shape
-    up = x_ref.dtype != jnp.float32
     for r in range(rows):
-        x = x_ref[:, r, :]
-        if up:
-            x = x.astype(jnp.float32)
+        x = _dg_widen(x_ref[:, r, :])
         out = _dg_permute_row(x, p_ref[r, :], w)
-        o_ref[:, r, :] = out.astype(o_ref.dtype)
+        o_ref[:, r, :] = _dg_narrow(out, o_ref.dtype)
 
 
 def dg_ok(d: int, r: int, c: int, dtype) -> bool:
     """Shapes/dtypes the dynamic-gather kernel handles: 128-lane blocks,
     unrolled exchange bounded at B <= 16 (like the hier kernel), 32-bit
-    gathers (bf16 rides the f32 upcast)."""
+    gathers (bf16 rides the sublane-pair u32 bitcast: d must be even)."""
     if dtype not in (jnp.float32, jnp.bfloat16):
+        return False
+    if dtype == jnp.bfloat16 and d % 2:
         return False
     rows = _rlp_rows(d, r, c, dtype)
     isz = jnp.dtype(dtype).itemsize
-    tile = d * rows * c * (isz + 4)     # io block + f32 upcast temporaries
+    # io block + permute temporaries (u32 view is the same bytes as the
+    # bf16 input; f32 temporaries are input-sized too)
+    tile = d * rows * c * (isz + isz if dtype == jnp.bfloat16
+                           else isz + 4)
     return (r % rows == 0 and c % DG_W == 0 and c // DG_W <= 16
             and tile + (4 << 20) <= 80 << 20)
 
@@ -597,7 +629,6 @@ def _tlp_dg_kernel(x_hbm, p_ref, o_ref, xv, y_ref, sem, *, w: int):
     i = pl.program_id(1)
     j = pl.program_id(0)
     grp = 16
-    up = xv.dtype != jnp.float32
 
     @pl.when(i == 0)
     def _fetch_and_permute():
@@ -612,11 +643,9 @@ def _tlp_dg_kernel(x_hbm, p_ref, o_ref, xv, y_ref, sem, *, w: int):
             wordg = p_ref[rows_sl, :]
             outs = []
             for rr in range(grp):
-                x = xg[:, rr, :]
-                if up:
-                    x = x.astype(jnp.float32)
-                outs.append(_dg_permute_row(x, wordg[rr, :], w)
-                            .astype(xv.dtype))
+                x = _dg_widen(xg[:, rr, :])
+                outs.append(_dg_narrow(
+                    _dg_permute_row(x, wordg[rr, :], w), xv.dtype))
             xv[:, rows_sl, :] = jnp.stack(outs, axis=1)
             return 0
 
