@@ -89,8 +89,9 @@ class _FusedAggregation(nn.Module):
     order: int
 
     @nn.compact
-    def __call__(self, u, q, i, mesh=None) -> jnp.ndarray:
+    def __call__(self, u, q, i, mesh=None, absorb=None):
         from ihgnn_tpu.ops.pallas.interact import (fused_interaction,
+                                                   fused_interaction_absorb,
                                                    fused_interaction_sharded)
 
         kernel, bias = _DenseParams(self.features, self.in_features,
@@ -98,6 +99,10 @@ class _FusedAggregation(nn.Module):
         if mesh is not None:
             return fused_interaction_sharded(u, q, i, kernel, bias[:, None],
                                              self.order, mesh)
+        if absorb is not None:
+            pi, rho, mask, cols = absorb
+            return fused_interaction_absorb(u, q, i, kernel, bias[:, None],
+                                            pi, rho, mask, self.order, cols)
         return fused_interaction(u, q, i, kernel, bias[:, None],
                                  self.order)
 
@@ -109,7 +114,7 @@ class FeatureInteractor(nn.Module):
 
     @nn.compact
     def __call__(self, roles_t, fused_ok: bool = False,
-                 mesh=None) -> jnp.ndarray:
+                 mesh=None, absorb=None):
         """roles_t: 3-tuple (u, q, i) of [d, E] gathered endpoints in edge
         order → [out, E] edge features.
 
@@ -117,13 +122,20 @@ class FeatureInteractor(nn.Module):
         on one device (the single-chip Pallas path). ``mesh``: the edge
         axis is GSPMD-sharded over the mesh 'data' axis — the fused kernel
         then runs per-shard under shard_map (a naked pallas_call must not
-        see sharded operands)."""
+        see sharded operands). ``absorb``: (pi, rho, sig_mask, cols) for
+        the absorbed i-role final stage (ops/pallas/interact.py) — the i
+        input is then t1-ordered and TWO outputs (o1, o2) are returned."""
         from ihgnn_tpu.ops.hyperagg import _kernels_active
         from ihgnn_tpu.ops.pallas.interact import BLK, ORDER_PARTS
 
         d = self.feature_dim
         u, q, i = roles_t[0], roles_t[1], roles_t[2]
         n_parts = ORDER_PARTS[self.max_order]
+
+        if absorb is not None:
+            return _FusedAggregation(
+                self.output_dim, n_parts * d, self.max_order,
+                name="aggregation")(u, q, i, absorb=absorb)
 
         if mesh is not None:
             return _FusedAggregation(

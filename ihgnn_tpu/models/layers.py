@@ -166,14 +166,32 @@ class IHGNNLayer(nn.Module):
     def __call__(self, x_t: jnp.ndarray, graph: HyperGraph) -> jnp.ndarray:
         x_t = TorchDenseT(self.out_dim, self.in_dim,
                           name="feature_transform")(x_t)
-        gather, scatter = make_hyper_ops(graph, bf16_stream=self.bf16_stream)
+        # i-role final-stage absorption into the fused interaction
+        # (hyperagg.absorb_i_ok): single-chip σ packs on the Pallas path,
+        # not under phase-2 attention (which consumes edge_t only — the
+        # second output would be dead work)
+        from ihgnn_tpu.ops.hyperagg import absorb_i_ok
+        kp = getattr(graph, "kp", None)
+        stream = jnp.bfloat16 if self.bf16_stream else jnp.float32
+        absorb = (use_pallas(graph) and not self.phase2_attention
+                  and absorb_i_ok(kp, self.out_dim, stream))
+        gather, scatter = make_hyper_ops(graph, bf16_stream=self.bf16_stream,
+                                         absorb=absorb)
         # edge-sharded graphs run the fused interaction per shard under
         # shard_map (the role streams are sharded on 'data')
         skp = getattr(graph, "skp", None)
         edge_t = FeatureInteractor(self.interaction_order, self.out_dim,
                                    self.out_dim, name="interactor")(
                                        gather(x_t), fused_ok=use_pallas(graph),
-                                       mesh=None if skp is None else skp.mesh)
+                                       mesh=None if skp is None else skp.mesh,
+                                       absorb=(kp.i.fwd_p2.tab,
+                                               kp.i.inv_p2.tab,
+                                               kp.sig_mask, kp.cols)
+                                       if absorb else None)
+        if absorb:
+            # edge_t is the (o1 σ-ordered, o2 ρ-permuted) pair; scatter
+            # consumes the pair, everything else reads o1
+            return scatter(edge_t) / graph.dv.reshape(1, -1)
         if graph.edge_mask is not None:
             edge_t = edge_t * graph.edge_mask.reshape(1, -1)
 

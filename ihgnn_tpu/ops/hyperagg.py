@@ -210,10 +210,12 @@ def _rlp_bt(x, st):
     return block_transpose(_rlp(x, st))
 
 
-def _role_forward(x_pad, rp, rows, cols):
+def _role_forward(x_pad, rp, rows, cols, stop_pre_p2: bool = False):
     """Role features in edge order (σ order when rp.fwd_p2 is None — the
     q role of a σ pack): (expand∘stage0, transposed) fused, then (p1·T)
-    fused, then p2 — 3 kernels, each one HBM round-trip (2 for σ-q)."""
+    fused, then p2 — 3 kernels, each one HBM round-trip (2 for σ-q).
+    ``stop_pre_p2``: return the pre-final-stage ("t1") state — the
+    absorbed-interaction contract (interact.py applies p2 in-kernel)."""
     d = x_pad.shape[0]
     ep = rp.gather
     # the fused kernel transposes the EXPAND grid, which matches the stage
@@ -228,7 +230,7 @@ def _role_forward(x_pad, rp, rows, cols):
     else:
         t0 = _bt(_expand(x_pad, ep).reshape(d, rows, cols))
     t1 = _rlp_bt(t0, rp.fwd_p1)
-    if rp.fwd_p2 is None:                       # σ q role: stop at t1
+    if rp.fwd_p2 is None or stop_pre_p2:        # σ q role: stop at t1
         return t1.reshape(d, rows * cols)
     out = _rlp(t1, rp.fwd_p2)
     return out.reshape(d, rows * cols)
@@ -245,15 +247,18 @@ def _permute_to_t1(y, rp, rows, cols):
     return t1.reshape(d, rows * cols)
 
 
-def _sig_inverse(y, rp, rows, cols):
+def _sig_inverse(y, rp, rows, cols, from_pre: bool = False):
     """σ order → stage-0 rank order ([d, E_pad]): [inv_p2 (i role only)]
     · T · inv_p1 · T; the trailing stage-0⁻¹ is absorbed into the
-    segment-sum ids (packing.py σ layout). σ packs only."""
+    segment-sum ids (packing.py σ layout). σ packs only.
+    ``from_pre``: the input already has inv_p2 applied (the absorbed
+    interaction emitted it — interact.py o2), so skip that stage."""
     d = y.shape[0]
     g = y.reshape(d, rows, cols)
     # inv_p2 (i role) fuses with the following transpose: _rlp_bt(g, p2)
     # == _bt(_rlp(g, p2)), one HBM pass instead of two (tlp_dg kernel)
-    gt = _rlp_bt(g, rp.inv_p2) if rp.inv_p2 is not None else _bt(g)
+    gt = (_bt(g) if rp.inv_p2 is None or from_pre
+          else _rlp_bt(g, rp.inv_p2))
     out = _rlp_bt(gt, rp.inv_p1)                # [d, C, R] → [d, R, C]
     return out.reshape(d, rows * cols)
 
@@ -374,6 +379,97 @@ def _scatter_bwd(res, cot):
 
 
 _scatter_pallas.defvjp(_scatter_fwd, _scatter_bwd)
+
+
+# ---------------------------------------------------------------------------
+# absorbed-interaction variants (round 4): the i role's final Clos stage
+# π = fwd_p2 and its inverse ρ = inv_p2 run INSIDE the fused interaction
+# kernel (ops/pallas/interact.py absorb kernels), so:
+#   gather returns i in pre-p2 ("t1") order (one fewer rlp pass) and its
+#   backward consumes a t1-ordered cotangent (one fewer inv_p2 pass);
+#   scatter takes (edge_t, pre_i = ρ(edge_t) emitted by the interaction)
+#   so its i chain starts at _bt like the q chain (one fewer pass), and
+#   its backward emits the i-role expansion pre-p2 (one fewer pass).
+# Four [d, E] HBM permute passes per layer fwd+bwd replaced by in-VMEM
+# dynamic gathers. σ-pad cotangent zeroing moves into the absorbed
+# interaction backward (it masks the MERGED cotangent).
+# ---------------------------------------------------------------------------
+
+
+def absorb_i_ok(kp, d: int, dtype) -> bool:
+    """Static gate: σ pack with dg-packed i-role final stages whose rows
+    nest inside the interaction kernel's blocks."""
+    import os
+    if kp is None or not getattr(kp, "sigma", False):
+        return False
+    if os.environ.get("IHGNN_ABSORB_I", "1") != "1":
+        return False
+    pi, rho = kp.i.fwd_p2, kp.i.inv_p2
+    if pi is None or rho is None or pi.kind != "dg" or rho.kind != "dg":
+        return False
+    from ihgnn_tpu.ops.pallas.interact import absorb_blk_ok
+    return absorb_blk_ok(kp.e_pad, kp.rows, kp.cols, d, dtype)
+
+
+def _gather_pre_impl(x_pad, kp):
+    u = _expand(x_pad, kp.u_expand)
+    q = _role_forward(x_pad, kp.q, kp.rows, kp.cols)
+    i = _role_forward(x_pad, kp.i, kp.rows, kp.cols, stop_pre_p2=True)
+    return u, q, i
+
+
+@jax.custom_vjp
+def _gather_pre_pallas(x_pad, kp):
+    return _gather_pre_impl(x_pad, kp)
+
+
+def _gather_pre_fwd(x_pad, kp):
+    return _gather_pre_impl(x_pad, kp), kp
+
+
+def _gather_pre_bwd(kp, cot):
+    cu, cq, ci = cot                 # ci arrives t1-ordered
+    cot_q = _sig_inverse(cq, kp.q, kp.rows, kp.cols)
+    cot_i = _sig_inverse(ci, kp.i, kp.rows, kp.cols, from_pre=True)
+    grad = _segsum_regions(cu, cot_q, cot_i, kp)
+    grad = jnp.pad(grad.astype(cu.dtype), ((0, 0), (0, kp.src_pad - kp.n)))
+    return grad, _f0_tree(kp)
+
+
+_gather_pre_pallas.defvjp(_gather_pre_fwd, _gather_pre_bwd)
+
+
+def _scatter2_impl(edge_t, pre_i, kp):
+    region_q = _sig_inverse(edge_t, kp.q, kp.rows, kp.cols)
+    region_i = _sig_inverse(pre_i, kp.i, kp.rows, kp.cols, from_pre=True)
+    return _segsum_regions(edge_t, region_q, region_i, kp)
+
+
+@jax.custom_vjp
+def _scatter2_pallas(edge_t, pre_i, kp):
+    return _scatter2_impl(edge_t, pre_i, kp)
+
+
+def _scatter2_fwd(edge_t, pre_i, kp):
+    return (_scatter2_impl(edge_t, pre_i, kp),
+            (kp, jnp.zeros((0,), edge_t.dtype)))
+
+
+def _scatter2_bwd(res, cot):
+    kp, e_token = res
+    cot_pad = jnp.pad(cot.astype(e_token.dtype),
+                      ((0, 0), (0, kp.src_pad - kp.n)))
+    grad_e = (_expand(cot_pad, kp.u_expand)
+              + _role_forward(cot_pad, kp.q, kp.rows, kp.cols))
+    grad_pre = _role_forward(cot_pad, kp.i, kp.rows, kp.cols,
+                             stop_pre_p2=True)
+    # σ-pad expansion junk is zeroed on the MERGED cotangent inside the
+    # absorbed interaction backward (interact.py masks c1 + π(c2) with
+    # kp.sig_mask), so neither stream needs masking here.
+    return grad_e, grad_pre, _f0_tree(kp)
+
+
+_scatter2_pallas.defvjp(_scatter2_fwd, _scatter2_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -552,7 +648,8 @@ def role_major_i3(graph: HyperGraph) -> jnp.ndarray:
     return jnp.concatenate([i3[:, 0], i3[:, 1], i3[:, 2]])
 
 
-def make_hyper_ops(graph: HyperGraph, bf16_stream: bool = False):
+def make_hyper_ops(graph: HyperGraph, bf16_stream: bool = False,
+                   absorb: bool = False):
     """Returns (gather_roles_t, scatter_incidence_t) bound to one graph's
     static packing. Both operate feature-major.
 
@@ -609,6 +706,19 @@ def make_hyper_ops(graph: HyperGraph, bf16_stream: bool = False):
         return gather_roles_t, scatter_incidence_t
 
     kp = graph.kp
+
+    if absorb:
+        # absorbed-interaction contract: gather's i output is t1-ordered
+        # and scatter takes the (edge_t, pre_i) pair the absorbed
+        # interaction emits (see absorb_i_ok / interact.py)
+        def gather_roles_t(x_t):
+            x_pad = jnp.pad(_cast(x_t), ((0, 0), (0, kp.src_pad - n)))
+            return _gather_pre_pallas(x_pad, kp)
+
+        def scatter_pair_t(edge_pair):
+            return _scatter2_pallas(edge_pair[0], edge_pair[1], kp)
+
+        return gather_roles_t, scatter_pair_t
 
     def gather_roles_t(x_t):
         x_pad = jnp.pad(_cast(x_t), ((0, 0), (0, kp.src_pad - n)))

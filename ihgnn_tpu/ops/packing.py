@@ -178,6 +178,13 @@ def _stage_table(raw: np.ndarray) -> StageTable:
     single-register (128-lane) uses like ops/pallas/segscan.py."""
     import os
     length = raw.shape[1]
+    if os.environ.get("IHGNN_STAGE_KIND", "dg") == "dg" and length == 128:
+        # single-block rows (b = 1, below hier_eligible's b >= 2): the
+        # permute is one in-block gather — synthesize the word directly
+        # (p0 = perm, s = 0, p2 = identity)
+        ident = np.arange(128, dtype=np.int64) << 20
+        packed = (np.asarray(raw, np.int64) + ident[None, :]).astype(np.int32)
+        return StageTable(tab=jnp.asarray(packed), kind="dg", w=128)
     if (os.environ.get("IHGNN_STAGE_KIND", "dg") == "dg"
             and hier_eligible(length, 128)):
         from ihgnn_tpu.ops import native

@@ -127,3 +127,46 @@ def test_pallas_grads_match_xla_path(graph):
                                rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(np.asarray(ge_p), np.asarray(ge_x),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_absorbed_pipeline_matches_unabsorbed(graph):
+    """Round 4: the i-role final-stage absorption (gather-pre →
+    fused_interaction_absorb → scatter2) must equal the unabsorbed
+    pipeline in values AND grads (x and interaction weights)."""
+    from ihgnn_tpu.ops.hyperagg import (_gather_pre_pallas, _scatter2_pallas,
+                                        absorb_i_ok)
+    from ihgnn_tpu.ops.pallas.interact import (fused_interaction,
+                                               fused_interaction_absorb)
+
+    kp = graph.kp
+    assert absorb_i_ok(kp, D, jnp.float32), (kp.cols, kp.rows, kp.e_pad)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((D, graph.node_count))
+                    .astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((7 * D, D)).astype(np.float32) * 0.1)
+    b2 = jnp.asarray(rng.standard_normal((D, 1)).astype(np.float32))
+    pi, rho = kp.i.fwd_p2.tab, kp.i.inv_p2.tab
+
+    def loss_plain(x, w):
+        u, q, i = _gather_roles_pallas(_pad(x, kp.src_pad), kp)
+        o1 = fused_interaction(u, q, i, w, b2, 3)
+        out = _scatter_pallas(o1, kp)
+        return jnp.sum(out * out)
+
+    def loss_absorb(x, w):
+        u, q, i_t1 = _gather_pre_pallas(_pad(x, kp.src_pad), kp)
+        o1, o2 = fused_interaction_absorb(u, q, i_t1, w, b2, pi, rho,
+                                          kp.sig_mask, 3, kp.cols)
+        out = _scatter2_pallas(o1, o2, kp)
+        return jnp.sum(out * out)
+
+    with pltpu.force_tpu_interpret_mode():
+        lp, (gx_p, gw_p) = jax.value_and_grad(loss_plain,
+                                              argnums=(0, 1))(x, w)
+        la, (gx_a, gw_a) = jax.value_and_grad(loss_absorb,
+                                              argnums=(0, 1))(x, w)
+    assert float(la) == pytest.approx(float(lp), rel=1e-4)
+    np.testing.assert_allclose(np.asarray(gx_a), np.asarray(gx_p),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gw_a), np.asarray(gw_p),
+                               rtol=1e-3, atol=1e-3)

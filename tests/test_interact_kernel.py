@@ -114,3 +114,50 @@ def test_module_paths_share_params_and_agree():
     assert float(l_fused) == pytest.approx(float(l_ref), rel=2e-2)
     for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_fused)):
         _close(b, a, 3e-2)
+
+
+def test_absorb_kernels_cols1024_table_sharing():
+    """The absorbed kernels at cols=1024 (bench shape): BLK/cols = 2
+    programs share each 8-row table block, exercising the _tab_off
+    row-select path. fwd: o1 == interact(u, q, π(i_t1)), o2 == ρ(o1);
+    bwd: grads match autodiff through the explicit-permute formulation."""
+    from ihgnn_tpu.ops.benes import route_rows_hier
+    from ihgnn_tpu.ops.pallas.interact import (fused_interaction,
+                                               fused_interaction_absorb)
+
+    cols, rows, order = 1024, 16, 3
+    e = rows * cols
+    rng = np.random.default_rng(11)
+    perm = np.stack([rng.permutation(cols) for _ in range(rows)])
+    inv = np.argsort(perm, axis=1)
+    pi = jnp.asarray(route_rows_hier(perm, w=128))
+    rho = jnp.asarray(route_rows_hier(inv, w=128))
+    u, q, i_t1 = _roles(e=e, seed=12)
+    w = jnp.asarray(rng.standard_normal((7 * D, OUT)).astype(np.float32)
+                    * 0.1)
+    b2 = jnp.asarray(rng.standard_normal((OUT, 1)).astype(np.float32))
+    mask = jnp.asarray((rng.random((1, e)) > 0.1).astype(np.float32))
+
+    def apply_perm(x, p):      # out[:, r, c] = x[:, r, p[r, c]]
+        g = x.reshape(-1, rows, cols)
+        pj = jnp.broadcast_to(jnp.asarray(p)[None], g.shape)
+        return jnp.take_along_axis(g, pj, axis=2).reshape(-1, e)
+
+    def loss_ref(u, i_t1, w):
+        o1 = fused_interaction(u, q, apply_perm(i_t1, perm), w, b2, order)
+        o2 = apply_perm(o1, inv)
+        return (jnp.sum(o1 * o1 * mask) + jnp.sum(o2[:, ::2] * o2[:, ::2]
+                                                  * mask[:, ::2]))
+
+    def loss_abs(u, i_t1, w):
+        o1, o2 = fused_interaction_absorb(u, q, i_t1, w, b2, pi, rho,
+                                          None, order, cols)
+        return (jnp.sum(o1 * o1 * mask) + jnp.sum(o2[:, ::2] * o2[:, ::2]
+                                                  * mask[:, ::2]))
+
+    with pltpu.force_tpu_interpret_mode():
+        lr, gr = jax.value_and_grad(loss_ref, argnums=(0, 1, 2))(u, i_t1, w)
+        la, ga = jax.value_and_grad(loss_abs, argnums=(0, 1, 2))(u, i_t1, w)
+    assert float(la) == pytest.approx(float(lr), rel=1e-3)
+    for a, b in zip(ga, gr):
+        _close(a, b, 3e-2)
