@@ -96,6 +96,10 @@ def main():
     ap.add_argument("--remat", action="store_true", default=False)
     ap.add_argument("--f32_stream", action="store_true", default=False,
                     help="disable the bf16 conv streams (default: on)")
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--json_out", default=None,
+                    help="also write a full config+throughput record "
+                         "(STRESS_r* artifacts)")
     args = ap.parse_args()
 
     U, Q, I, V = args.users, args.queries, args.items, args.vocab
@@ -154,7 +158,7 @@ def main():
     state, loss = step(state, batches[1])
     _ = float(loss)
 
-    n_steps = 20
+    n_steps = args.steps
     t0 = time.time()
     for i in range(n_steps):
         state, loss = step(state, batches[i % 4])
@@ -180,6 +184,20 @@ def main():
         "unit": "aggregations/s",
         "vs_baseline": round(agg_per_s / sol_agg_per_s, 4),
     }))
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump({
+                "config": {"edges": E, "users": U, "queries": Q,
+                           "items": I, "vocab": V, "emb": D, "layers": L,
+                           "remat": args.remat,
+                           "bf16_stream": not args.f32_stream,
+                           "params": int(sum(x.size for x in
+                                             jax.tree.leaves(state.params)))},
+                "platform": "tpu v5e (1 chip)",
+                "step_time_ms": round(step_time * 1e3, 1),
+                "examples_per_s": round(examples_per_s),
+                "hyperedge_aggregations_per_s": round(agg_per_s, 1),
+            }, f, indent=1)
 
 
 if __name__ == "__main__":

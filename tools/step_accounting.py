@@ -46,14 +46,19 @@ def _floor_ms(traversals: float, extra_bytes: float = 0.0) -> float:
 
 
 def timed(fn, *args, iters=10):
-    s = fn(*args, jnp.float32(1.0))
-    _ = float(s)
-    s = fn(*args, 1.0 + 0.0 * s)
-    _ = float(s)
+    """Amortized per-call ms with the iteration loop INSIDE one jit (scan
+    with a scalar carry): per-dispatch transport latency on the axon
+    tunnel is ~2-4 ms, which swamps small components when each iteration
+    is its own host call (the round-3 artifact's methodology)."""
+    @jax.jit
+    def loop(*a):
+        def body(c, _):
+            return fn(*a, 1.0 + 0.0 * c), None
+        c, _ = jax.lax.scan(body, jnp.float32(1.0), None, length=iters)
+        return c
+    _ = float(loop(*args))
     t0 = time.time()
-    for _ in range(iters):
-        s = fn(*args, 1.0 + 0.0 * s)
-    _ = float(s)
+    _ = float(loop(*args))
     return (time.time() - t0) / iters * 1e3
 
 
@@ -110,12 +115,44 @@ def main():
     @jax.jit
     def s_both(ef, scale):
         def loss(ef):
-            return jnp.sum(scatter16(ef * scale) ** 2)
+            # keep the stream bf16 (scale would silently promote to f32)
+            return jnp.sum(scatter16((ef * scale).astype(ef.dtype)) ** 2)
         l, g = jax.value_and_grad(loss)(ef.astype(jnp.bfloat16))
         return l + 0 * jnp.sum(g.astype(jnp.float32))
 
     rec("scatter_fwdbwd", timed(s_both, ef16),
         _floor_ms(8 + 3.35 + 14, extra_bytes=3 * E * 4))
+
+    # --- isolated sub-kernels of the scatter path (round 4: locate the
+    # next cut — segsum vs permute-chain split)
+    from ihgnn_tpu.ops.hyperagg import _segsum_regions, _sig_inverse
+    from ihgnn_tpu.ops.pallas.gather import windowed_gather
+
+    @jax.jit
+    def seg3(ef, scale):
+        out = _segsum_regions((ef * scale).astype(ef.dtype), ef, ef, kp)
+        return jnp.sum(out[:, :8])
+
+    rec("segsum3", timed(seg3, ef16),
+        _floor_ms(3, extra_bytes=3 * E * 4 + N * D * 4))
+
+    @jax.jit
+    def sig_inv_q(ef, scale):
+        out = _sig_inverse((ef * scale).astype(ef.dtype), kp.q, kp.rows,
+                           kp.cols)
+        return jnp.sum(out[:, :8].astype(jnp.float32))
+
+    rec("sig_inverse_q (bt+tlp)", timed(sig_inv_q, ef16), _floor_ms(4))
+
+    @jax.jit
+    def exp_u(x, scale):
+        out = windowed_gather((x * scale).astype(jnp.bfloat16),
+                              kp.u_expand.idx, kp.u_expand.win,
+                              kp.u_expand.w)
+        return jnp.sum(out[:, :8].astype(jnp.float32))
+
+    xp = jnp.asarray(rng.standard_normal((D, kp.src_pad)).astype(np.float32))
+    rec("u_expand", timed(exp_u, xp), _floor_ms(2))
 
     # --- fused interaction fwd+bwd, order 3 and order 1 (bf16):
     # fwd: r 3E + w E = 4; bwd: r 3E (saved roles) + r E (cot) + w 3E = 7
@@ -128,7 +165,8 @@ def main():
         @jax.jit
         def f(r0, r1, r2, params, scale):
             def loss(r0, params):
-                out = mod.apply(params, (r0 * scale, r1, r2), fused_ok=True)
+                out = mod.apply(params, ((r0 * scale).astype(r0.dtype), r1, r2),
+                                fused_ok=True)
                 return jnp.sum((out * out).astype(jnp.float32))
             l, (g0, gp) = jax.value_and_grad(loss, argnums=(0, 1))(r0, params)
             return l + 0 * jnp.sum(g0.astype(jnp.float32))
