@@ -47,6 +47,20 @@ NSUB = BLOCK // SUB     # sub-chunks per default block (segscan.py)
 NBUF = 4        # DMA pipeline depth (blocks in flight)
 
 
+def _maskstore_on() -> bool:
+    """bf16 wide-block path (round 4, measured LOSS — off by default):
+    build the [TILE_N, block] one-hot in a VMEM scratch with aligned
+    lane-range stores (dodging the broken Mosaic lane-CONCAT of
+    sublane-offset id slices) and run ONE MXU matmul per block instead of
+    nsub. On chip this measured 6.885 vs 6.209 ms at the bench scatter
+    shape (docs/SEGSUM_WIDE_PROBE.jsonl): the kernel sits AT the MXU
+    one-hot floor (~1 cycle/entry), so cutting matmul issues buys nothing
+    and the mask stores are pure extra VPU work. Kept as a measured
+    variant behind IHGNN_SEGSUM_MASKSTORE=1."""
+    import os
+    return os.environ.get("IHGNN_SEGSUM_MASKSTORE", "0") == "1"
+
+
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
@@ -65,16 +79,21 @@ def pack_csr_tiles(segment_ids: np.ndarray, num_segments: int,
     return tile_ptr, n_pad
 
 
-def _make_segsum_kernel(out_transposed: bool, block: int, sub: int):
+def _make_segsum_kernel(out_transposed: bool, block: int, sub: int,
+                        use_mask: bool):
     def kernel(*args):
-        _segsum_kernel(*args, out_transposed=out_transposed, block=block,
-                       sub=sub)
+        if use_mask:
+            *a, mask_scr = args
+        else:
+            a, mask_scr = args, None
+        _segsum_kernel(*a, mask_scr=mask_scr, out_transposed=out_transposed,
+                       block=block, sub=sub)
     return kernel
 
 
 def _segsum_kernel(tile_ptr_ref, values_t_hbm, ids_hbm, out_ref, acc, vbuf,
-                   nbuf, sems, ctr, out_transposed=False, block=BLOCK,
-                   sub=SUB):
+                   nbuf, sems, ctr, mask_scr=None, out_transposed=False,
+                   block=BLOCK, sub=SUB):
     """Streaming variant: the entry stream is consumed in order across the
     whole grid, so the DMA pipeline is GLOBAL — two SMEM counters
     (next-unfetched block, next-unwaited block) persist across grid
@@ -139,6 +158,29 @@ def _segsum_kernel(tile_ptr_ref, values_t_hbm, ids_hbm, out_ref, acc, vbuf,
         ctr[1] = jnp.maximum(waited, g + 1)
 
         slot = jax.lax.rem(g, NBUF)
+        if mask_scr is not None:
+            # Wide-block path (round 4, bf16 streams): build the whole
+            # [TILE_N, block] one-hot in scratch via lane-ALIGNED 128-wide
+            # stores (the lane-CONCAT of sublane-offset id slices that the
+            # sub>128 variant below needs is broken in real Mosaic — see
+            # that comment), then ONE MXU matmul per block: 1/nsub the
+            # matmul issues and acc read-modify-writes.
+            iota = jax.lax.broadcasted_iota(jnp.int32, (TILE_N, SUB), 0)
+            for j in range(nsub):
+                local = nbuf[slot][j].reshape(1, SUB) - node_base
+                mask_scr[:, j * SUB:(j + 1) * SUB] = (
+                    iota == local).astype(jnp.bfloat16)
+            v = vbuf[slot]                               # [d, block] bf16
+            dims = (((1,), (1,)), ((), ()))
+            if out_transposed:
+                acc[...] += jax.lax.dot_general(
+                    v, mask_scr[...], dimension_numbers=dims,
+                    preferred_element_type=jnp.float32)
+            else:
+                acc[...] += jax.lax.dot_general(
+                    mask_scr[...], v, dimension_numbers=dims,
+                    preferred_element_type=jnp.float32)
+            return 0
         rows_per_sub = sub // SUB
         for j in range(block // sub):
             # sub > 128 is EXPERIMENTAL and off by default: real Mosaic
@@ -216,16 +258,21 @@ def _segsum_kernel(tile_ptr_ref, values_t_hbm, ids_hbm, out_ref, acc, vbuf,
 # ---------------------------------------------------------------------------
 
 
-def _make_segsum3_kernel(out_transposed: bool, block: int, sub: int):
+def _make_segsum3_kernel(out_transposed: bool, block: int, sub: int,
+                         use_mask: bool):
     def kernel(*args):
-        _segsum3_kernel(*args, out_transposed=out_transposed, block=block,
-                        sub=sub)
+        if use_mask:
+            *a, mask_scr = args
+        else:
+            a, mask_scr = args, None
+        _segsum3_kernel(*a, mask_scr=mask_scr, out_transposed=out_transposed,
+                        block=block, sub=sub)
     return kernel
 
 
 def _segsum3_kernel(tile_ptr_ref, vu_hbm, vq_hbm, vi_hbm, ids_hbm, out_ref,
-                    acc, vbuf, nbuf, sems, ctr, out_transposed=False,
-                    block=BLOCK, sub=SUB):
+                    acc, vbuf, nbuf, sems, ctr, mask_scr=None,
+                    out_transposed=False, block=BLOCK, sub=SUB):
     """_segsum_kernel with the value stream split across three region refs
     (same global streaming-DMA pipeline; see _segsum_kernel)."""
     nsub = block // SUB
@@ -293,6 +340,24 @@ def _segsum3_kernel(tile_ptr_ref, vu_hbm, vq_hbm, vi_hbm, ids_hbm, out_ref,
         ctr[1] = jnp.maximum(waited, g + 1)
 
         slot = jax.lax.rem(g, NBUF)
+        if mask_scr is not None:
+            # wide-block single-matmul path; see _segsum_kernel
+            iota = jax.lax.broadcasted_iota(jnp.int32, (TILE_N, SUB), 0)
+            for j in range(nsub):
+                local = nbuf[slot][j].reshape(1, SUB) - node_base
+                mask_scr[:, j * SUB:(j + 1) * SUB] = (
+                    iota == local).astype(jnp.bfloat16)
+            v = vbuf[slot]
+            dims = (((1,), (1,)), ((), ()))
+            if out_transposed:
+                acc[...] += jax.lax.dot_general(
+                    v, mask_scr[...], dimension_numbers=dims,
+                    preferred_element_type=jnp.float32)
+            else:
+                acc[...] += jax.lax.dot_general(
+                    mask_scr[...], v, dimension_numbers=dims,
+                    preferred_element_type=jnp.float32)
+            return 0
         for j in range(block // sub):
             nodes = nbuf[slot][j].reshape(1, SUB)
             local = nodes - node_base
@@ -361,21 +426,25 @@ def csr_segment_sum3_t(vu_t: jnp.ndarray, vq_t: jnp.ndarray,
         out_shape = jax.ShapeDtypeStruct((n_pad, d), jnp.float32)
         acc_shape = (TILE_N, d)
 
+    use_mask = _maskstore_on() and vu_t.dtype == jnp.bfloat16
+    scratch = [
+        pltpu.VMEM(acc_shape, jnp.float32),
+        pltpu.VMEM((NBUF, d, block), vu_t.dtype),
+        pltpu.VMEM((NBUF, block // SUB, 128), jnp.int32),
+        pltpu.SemaphoreType.DMA((NBUF, 2)),
+        pltpu.SMEM((2,), jnp.int32),
+    ]
+    if use_mask:
+        scratch.append(pltpu.VMEM((TILE_N, block), jnp.bfloat16))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 4,
         out_specs=out_spec,
-        scratch_shapes=[
-            pltpu.VMEM(acc_shape, jnp.float32),
-            pltpu.VMEM((NBUF, d, block), vu_t.dtype),
-            pltpu.VMEM((NBUF, block // SUB, 128), jnp.int32),
-            pltpu.SemaphoreType.DMA((NBUF, 2)),
-            pltpu.SMEM((2,), jnp.int32),
-        ],
+        scratch_shapes=scratch,
     )
     out = pl.pallas_call(
-        _make_segsum3_kernel(out_transposed, block, SUB),
+        _make_segsum3_kernel(out_transposed, block, SUB, use_mask),
         out_shape=out_shape,
         grid_spec=grid_spec,
         interpret=interpret,
@@ -424,6 +493,16 @@ def csr_segment_sum_t(values_t: jnp.ndarray, segment_ids_2d: jnp.ndarray,
         out_shape = jax.ShapeDtypeStruct((n_pad, d), jnp.float32)
         acc_shape = (TILE_N, d)
 
+    use_mask = _maskstore_on() and values_t.dtype == jnp.bfloat16
+    scratch = [
+        pltpu.VMEM(acc_shape, jnp.float32),
+        pltpu.VMEM((NBUF, d, block), values_t.dtype),
+        pltpu.VMEM((NBUF, block // SUB, 128), jnp.int32),
+        pltpu.SemaphoreType.DMA((NBUF, 2)),
+        pltpu.SMEM((2,), jnp.int32),
+    ]
+    if use_mask:
+        scratch.append(pltpu.VMEM((TILE_N, block), jnp.bfloat16))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
@@ -432,17 +511,11 @@ def csr_segment_sum_t(values_t: jnp.ndarray, segment_ids_2d: jnp.ndarray,
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
         out_specs=out_spec,
-        scratch_shapes=[
-            pltpu.VMEM(acc_shape, jnp.float32),
-            pltpu.VMEM((NBUF, d, block), values_t.dtype),
-            pltpu.VMEM((NBUF, block // SUB, 128), jnp.int32),
-            pltpu.SemaphoreType.DMA((NBUF, 2)),
-            pltpu.SMEM((2,), jnp.int32),
-        ],
+        scratch_shapes=scratch,
     )
     assert block % sub == 0 and sub % SUB == 0, (block, sub)
     out = pl.pallas_call(
-        _make_segsum_kernel(out_transposed, block, sub),
+        _make_segsum_kernel(out_transposed, block, sub, use_mask),
         out_shape=out_shape,
         grid_spec=grid_spec,
         interpret=interpret,
