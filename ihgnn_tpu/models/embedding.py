@@ -11,9 +11,16 @@ Re-designs Models/EmbeddingLayers.py for TPU:
 * optional post-transform Linear+activation on query vectors
   (``Gs.Query.transform == activation``, EmbeddingLayers.py:38-48).
 
-All tables are xavier-uniform initialized (EmbeddingLayers.py:93-104). The
-tables are the sharding unit for model parallelism: rows are sharded over
-the mesh 'model' axis (parallel/sharding.py).
+All tables are xavier-uniform initialized (EmbeddingLayers.py:93-104) over
+the logical (rows, d) shape, then stored FEATURE-MAJOR [d, rows]: a
+[rows, 32] f32 array lane-pads 4x in HBM (CLAUDE.md layout rule), which
+taxed every optimizer traversal of the ~600k-row tables (measured 4.56 ms
+vs a 0.77 ms logical floor per Adam table update, docs/X0_TAIL_PROBE.json)
+and forced a relayout transpose in the X0 assembly. Feature-major tables
+make the X0 user/item parts pure lane slices, the Adam update a
+no-padding bandwidth op, and the bag path transpose-free. The tables are
+the sharding unit for model parallelism: rows (now the minor axis) are
+sharded over the mesh 'model' axis (parallel/sharding.py).
 """
 
 from __future__ import annotations
@@ -31,40 +38,41 @@ from ihgnn_tpu.models.initializers import xavier_uniform
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
-def _rows_1n_t(table: jnp.ndarray, n: int, rows: int) -> jnp.ndarray:
-    """Feature-major rows 1..n of an embedding table: [rows, d] → [d, n].
+def _rows_1n_t(table_t: jnp.ndarray, n: int, rows: int) -> jnp.ndarray:
+    """Feature-major rows 1..n of an embedding table: [d, rows] → [d, n].
 
-    Equivalent to ``table[jnp.arange(n) + 1].T`` but with a static slice
-    forward and a zero-pad backward. The arange-gather version lowers its
-    BACKWARD to an XLA row scatter (~50 ns/row serial on v5e: measured
-    52 ms x0 fwd+bwd for the 700k-node bench — a third of the train step);
-    the custom pad backward is a bandwidth op. The custom VJP also
-    sidesteps the GSPMD slice-gradient NaN trap (CLAUDE.md) that forced
-    the arange-gather formulation in the first place."""
-    return jax.lax.slice(table, (1, 0), (n + 1, table.shape[1])).T
+    A static lane slice forward with a zero-pad backward. The arange-gather
+    version lowers its BACKWARD to an XLA row scatter (~50 ns/row serial on
+    v5e: measured 52 ms x0 fwd+bwd for the 700k-node bench — a third of
+    the train step); the custom pad backward is a bandwidth op. The custom
+    VJP also sidesteps the GSPMD slice-gradient NaN trap (CLAUDE.md) that
+    forced the arange-gather formulation in the first place."""
+    return jax.lax.slice(table_t, (0, 1), (table_t.shape[0], n + 1))
 
 
-def _rows_1n_t_fwd(table, n, rows):
-    return _rows_1n_t(table, n, rows), None
+def _rows_1n_t_fwd(table_t, n, rows):
+    return _rows_1n_t(table_t, n, rows), None
 
 
 def _rows_1n_t_bwd(n, rows, _res, cot):
-    return (jnp.pad(cot.T, ((1, rows - n - 1), (0, 0))),)
+    return (jnp.pad(cot, ((0, 0), (1, rows - n - 1))),)
 
 
 _rows_1n_t.defvjp(_rows_1n_t_fwd, _rows_1n_t_bwd)
 
 
 def _table_init(logical_rows: int, zero_row0: bool):
-    """Xavier-uniform over the *logical* (rows, d) shape — rows beyond
-    ``logical_rows`` (sharding padding) are zero and never gathered. Row 0 is
-    zeroed when the table has a padding index (torch padding_idx=0)."""
+    """Xavier-uniform over the *logical* (rows, d) shape (the fan axes the
+    reference's torch init sees) stored feature-major — columns beyond
+    ``logical_rows`` (sharding padding) are zero and never gathered. Row 0
+    is zeroed when the table has a padding index (torch padding_idx=0)."""
     def init(key, shape, dtype=jnp.float32):
+        d, rows_pad = shape
         w = jnp.zeros(shape, dtype)
-        logical = xavier_uniform()(key, (logical_rows, shape[1]), dtype)
+        logical = xavier_uniform()(key, (logical_rows, d), dtype)
         if zero_row0:
             logical = logical.at[0].set(0.0)
-        return w.at[:logical_rows].set(logical)
+        return w.at[:, :logical_rows].set(logical.T)
     return init
 
 
@@ -87,15 +95,15 @@ class EmbeddingTables(nn.Module):
         m = self.row_multiple
         self.user_table = self.param(
             "user_table", _table_init(self.user_count + 1, zero_row0=True),
-            (_round_up(self.user_count + 1, m), d))
+            (d, _round_up(self.user_count + 1, m)))
         self.item_table = self.param(
             "item_table", _table_init(self.item_count + 1, zero_row0=True),
-            (_round_up(self.item_count + 1, m), d))
+            (d, _round_up(self.item_count + 1, m)))
         # EmbeddingBag has no padding_idx in the reference; row 0 is still
         # only ever gathered under a zero mask.
         self.vocab_table = self.param(
             "vocab_table", _table_init(self.vocab_size + 1, zero_row0=False),
-            (_round_up(self.vocab_size + 1, m), d))
+            (d, _round_up(self.vocab_size + 1, m)))
         if self.query_transform == V.ACTIVATION:
             self.query_mlp = TorchDense(d, d, name="query_mlp")
 
@@ -105,12 +113,12 @@ class EmbeddingTables(nn.Module):
             # explicit index gather, not a [1:n+1] slice: slicing a
             # row-sharded table unevenly trips GSPMD into NaN gradients
             user_indices = jnp.arange(self.user_count, dtype=jnp.int32)
-        return self.user_table[user_indices + 1]
+        return self.user_table[:, user_indices + 1].T
 
     def embed_item(self, item_indices: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         if item_indices is None:
             item_indices = jnp.arange(self.item_count, dtype=jnp.int32)
-        return self.item_table[item_indices + 1]
+        return self.item_table[:, item_indices + 1].T
 
     def embed_query(self, query_words: jnp.ndarray, query_word_counts: jnp.ndarray,
                     query_indices: Optional[jnp.ndarray] = None) -> jnp.ndarray:
@@ -122,9 +130,9 @@ class EmbeddingTables(nn.Module):
         shape of work as the reference (EmbeddingLayers.py:76-91), and on
         TPU the full [Q, L, d] gather feeds the GNN anyway.
         """
-        gathered = self.vocab_table[query_words]              # [Q, L, d]
+        gathered = self.vocab_table[:, query_words]            # [d, Q, L]
         mask = (query_words > 0).astype(gathered.dtype)        # [Q, L]
-        summed = jnp.einsum("qld,ql->qd", gathered, mask)
+        summed = jnp.einsum("dql,ql->qd", gathered, mask)
         counts = jnp.maximum(query_word_counts, 1).astype(gathered.dtype)
         out = summed / counts[:, None]
         if query_indices is not None:
@@ -159,14 +167,14 @@ class EmbeddingTables(nn.Module):
                 query_word_counts, 1).astype(jnp.float32)
             query_part = bag_mean_t(self.vocab_table, query_words,
                                     inv_counts, bag,
-                                    self.vocab_table.shape[0])
+                                    self.vocab_table.shape[1])
         else:
             query_part = self.embed_query(query_words, query_word_counts,
                                           None).T
         return jnp.concatenate([
             _rows_1n_t(self.user_table, self.user_count,
-                       self.user_table.shape[0]),
+                       self.user_table.shape[1]),
             query_part,
             _rows_1n_t(self.item_table, self.item_count,
-                       self.item_table.shape[0]),
+                       self.item_table.shape[1]),
         ], axis=1)

@@ -130,14 +130,15 @@ def make_bag_pack(query_words: np.ndarray, query_word_counts: np.ndarray,
     )
 
 
-def _bag_fwd_impl(vocab_table, pack):
-    d = vocab_table.shape[1]
+def _bag_fwd_impl(vocab_table_t, pack):
+    # the table arrives FEATURE-MAJOR [d, rows] (models/embedding.py) —
+    # exactly the layout the routed pipeline consumes; no transpose
+    d, rows = vocab_table_t.shape
     bag_l = pack.bag_l
     q = pack.k // bag_l
     # routed path; the kernel-aware helpers fall back to jnp twins on CPU
     src_pad = pack.rp.gather.src_pad
-    x_pad = jnp.pad(vocab_table.T,
-                    ((0, 0), (0, src_pad - vocab_table.shape[0])))
+    x_pad = jnp.pad(vocab_table_t, ((0, 0), (0, src_pad - rows)))
     if pack.qids2d is None:      # legacy pack: full chain + [d, Q, L] sum
         k_stream = _role_forward(x_pad, pack.rp, pack.rows, pack.cols)
         vals = (k_stream[:, :pack.k] * pack.weight[None, :pack.k]
@@ -169,7 +170,7 @@ def _bag_fwd_impl(vocab_table, pack):
 
 def _bag_grad_impl(cot, pack, table_rows):
     """Vocab-table gradient of the bag mean for one pack: cot [d, q] →
-    [table_rows, d] (f32 accumulation, cast back to cot dtype)."""
+    feature-major [d, table_rows] (f32 accumulation, cast to cot dtype)."""
     d, q = cot.shape
     k, k_pad = pack.k, pack.k_pad
     # query-major expanded cotangent, weighted (mask/count)
@@ -187,8 +188,8 @@ def _bag_grad_impl(cot, pack, table_rows):
         grad_t = jax.ops.segment_sum(vals.T, jnp.where(valid, ids, 0),
                                      num_segments=pack.vocab_rows).T
     # the table may be row-padded past vocab_rows for even sharding
-    return jnp.pad(grad_t.T, ((0, table_rows - pack.vocab_rows),
-                              (0, 0))).astype(cot.dtype)
+    return jnp.pad(grad_t, ((0, 0), (0, table_rows - pack.vocab_rows))
+                   ).astype(cot.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))

@@ -27,6 +27,18 @@ from ihgnn_tpu.graph import Graph2D, HyperGraph, LogHyperGraph
 from ihgnn_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
 TABLE_PARAM_NAMES = ("user_table", "item_table", "vocab_table")
+# srrl's KG/PS tables are row-major [rows, d] (their hot path is small
+# row gathers); the main EmbeddingTables are feature-major [d, rows]
+# (models/embedding.py) — rows shard over 'model' in both layouts.
+_ROWMAJOR_MODULES = ("KG", "PS")
+
+
+def _table_spec(keys, leaf):
+    """PartitionSpec for a table leaf: shard the rows axis over 'model'."""
+    ndim = getattr(leaf, "ndim", 0)
+    if any(k in _ROWMAJOR_MODULES for k in keys):
+        return P(MODEL_AXIS, *([None] * (ndim - 1)))
+    return P(*([None] * (ndim - 1)), MODEL_AXIS)
 
 
 def put_global(x, sharding: NamedSharding):
@@ -59,7 +71,7 @@ def _param_spec_tree(params: Any) -> Any:
     for path, leaf in flat[0]:
         keys = [getattr(k, "key", getattr(k, "name", None)) for k in path]
         if any(k in TABLE_PARAM_NAMES for k in keys) and getattr(leaf, "ndim", 0) >= 1:
-            specs.append(P(MODEL_AXIS, *([None] * (leaf.ndim - 1))))
+            specs.append(_table_spec(keys, leaf))
         else:
             specs.append(P())
     return jax.tree_util.tree_unflatten(flat[1], specs)
@@ -77,7 +89,7 @@ def state_sharding(state, mesh: Mesh):
     def opt_spec(leaf_path, leaf):
         keys = [getattr(k, "key", getattr(k, "name", None)) for k in leaf_path]
         if any(k in TABLE_PARAM_NAMES for k in keys) and getattr(leaf, "ndim", 0) >= 1:
-            return P(MODEL_AXIS, *([None] * (leaf.ndim - 1)))
+            return _table_spec(keys, leaf)
         return P()
 
     flat = jax.tree_util.tree_flatten_with_path(state.opt_state)

@@ -165,7 +165,7 @@ def test_query_embedding_is_bag_mean(data):
                         data.query_word_counts, u, u, u)
     feats = model.apply(params, g, data.query_words, data.query_word_counts,
                         method=model.all_features)
-    vocab = np.asarray(params["params"]["embeddings"]["vocab_table"])
+    vocab = np.asarray(params["params"]["embeddings"]["vocab_table"]).T
     q0_words = data.query_words[0][data.query_words[0] > 0]
     expect = vocab[q0_words].mean(0)
     got = np.asarray(feats)[:D, data.query_start]
@@ -217,7 +217,8 @@ def test_bag_mean_routed_bwd_matches_autodiff():
     qw_np[:, 0] = np.maximum(qw_np[:, 0], 1)       # at least one word
     qc_np = (qw_np > 0).sum(axis=1).astype(np.int32)
     pack = make_bag_pack(qw_np, qc_np, vocab_rows=V_ + 1)
-    table = jnp.asarray(rng.standard_normal((rows, d)).astype(np.float32))
+    # feature-major [d, rows] table (models/embedding.py layout)
+    table = jnp.asarray(rng.standard_normal((d, rows)).astype(np.float32))
     qw = jnp.asarray(qw_np)
     inv_c = 1.0 / jnp.maximum(jnp.asarray(qc_np), 1).astype(jnp.float32)
     w = jnp.asarray(rng.standard_normal((d, Q)).astype(np.float32))
@@ -226,7 +227,7 @@ def test_bag_mean_routed_bwd_matches_autodiff():
         return jnp.sum(bag_mean_t(table, qw, inv_c, pack, rows) * w)
 
     def loss_ref(table):
-        gathered = table[qw]
+        gathered = table.T[qw]
         mask = (qw > 0).astype(jnp.float32)
         summed = jnp.einsum("qld,ql->qd", gathered, mask)
         return jnp.sum((summed * inv_c[:, None]).T * w)

@@ -104,9 +104,11 @@ class LayerZooReplay:
                                     ).requires_grad_(True)
 
         emb = p["embeddings"]
-        self.user_table = t_(emb["user_table"])
-        self.item_table = t_(emb["item_table"])
-        self.vocab_table = t_(emb["vocab_table"])
+        # ihgnn_tpu stores embedding tables feature-major [d, rows]
+        # (models/embedding.py); the torch replay is row-major
+        self.user_table = t_(np.asarray(emb["user_table"]).T)
+        self.item_table = t_(np.asarray(emb["item_table"]).T)
+        self.vocab_table = t_(np.asarray(emb["vocab_table"]).T)
         self.item_bias = t_(p["prediction"]["items_bias"])
         self.layers = []
         for li in range(layers):
