@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import contextlib
 import functools
+import os
 import threading
 
 import jax
@@ -255,10 +256,22 @@ def _sig_inverse(y, rp, rows, cols, from_pre: bool = False):
     interaction emitted it — interact.py o2), so skip that stage."""
     d = y.shape[0]
     g = y.reshape(d, rows, cols)
-    # inv_p2 (i role) fuses with the following transpose: _rlp_bt(g, p2)
-    # == _bt(_rlp(g, p2)), one HBM pass instead of two (tlp_dg kernel)
-    gt = (_bt(g) if rp.inv_p2 is None or from_pre
-          else _rlp_bt(g, rp.inv_p2))
+    if rp.inv_p2 is None or from_pre:
+        # no leading permute: the bt + tlp(inv_p1) pair collapses into ONE
+        # HBM round trip (transposed-input DMA + in-VMEM transpose,
+        # permute.py _tlp_dg_pre_kernel) when the dg kernel covers it
+        from ihgnn_tpu.ops.pallas.permute import (
+            tlp_dg_pre_ok, transposed_local_permute_dg_pre)
+        if (_kernels_active() and rp.inv_p1.kind == "dg"
+                and os.environ.get("IHGNN_TLP_PRE", "1") == "1"
+                and tlp_dg_pre_ok(d, rows, cols, y.dtype)):
+            out = transposed_local_permute_dg_pre(g, rp.inv_p1.tab)
+            return out.reshape(d, rows * cols)
+        gt = _bt(g)
+    else:
+        # inv_p2 (i role) fuses with the following transpose: _rlp_bt(g,
+        # p2) == _bt(_rlp(g, p2)), one HBM pass instead of two (tlp_dg)
+        gt = _rlp_bt(g, rp.inv_p2)
     out = _rlp_bt(gt, rp.inv_p1)                # [d, C, R] → [d, R, C]
     return out.reshape(d, rows * cols)
 

@@ -690,6 +690,106 @@ def transposed_local_permute_dg(x: jnp.ndarray, packed: jnp.ndarray,
     )(x, packed)
 
 
+def _tlp_dg_pre_kernel(x_hbm, p_ref, o_ref, xv, tbuf, y_ref, sems, *,
+                       w: int):
+    """Fused block-transpose + dg-permute + block-transpose: consumes the
+    UNTRANSPOSED [d, R, C] array that _sig_inverse previously ran a
+    standalone ``block_transpose`` HBM pass on. At i == 0 the j-th C-tile
+    is assembled TRANSPOSED in scratch by a pipeline of [d, 128, RT]
+    column-slab DMAs each followed by an in-VMEM swapaxes (double-buffered
+    tbuf overlaps the next fetch with the current transpose), then
+    dg-permuted in place exactly like _tlp_dg_kernel; chunk stores emit
+    the second transpose. One HBM round trip replaces bt + tlp (two)."""
+    d, rt, cp = xv.shape                    # cp = R, the permute row length
+    i = pl.program_id(1)
+    j = pl.program_id(0)
+    grp = 16
+
+    @pl.when(i == 0)
+    def _fetch_transpose_permute():
+        nk = cp // TLP_RT
+
+        def dma(k):
+            slot = jax.lax.rem(k, 2)
+            return pltpu.make_async_copy(
+                x_hbm.at[:, pl.ds(k * TLP_RT, TLP_RT),
+                         pl.ds(pl.multiple_of(j * rt, rt), rt)],
+                tbuf.at[slot], sems.at[slot])
+
+        dma(0).start()
+
+        def fetch_body(k, _):
+            @pl.when(k + 1 < nk)
+            def _():
+                dma(k + 1).start()
+            dma(k).wait()
+            xv[:, :, pl.ds(k * TLP_RT, TLP_RT)] = jnp.swapaxes(
+                tbuf[jax.lax.rem(k, 2)], 1, 2)
+            return 0
+
+        jax.lax.fori_loop(0, nk, fetch_body, 0, unroll=False)
+
+        def body(g, _):
+            rows_sl = pl.ds(g * grp, grp)
+            xg = xv[:, rows_sl, :]
+            wordg = p_ref[rows_sl, :]
+            outs = []
+            for rr in range(grp):
+                x = _dg_widen(xg[:, rr, :])
+                outs.append(_dg_narrow(
+                    _dg_permute_row(x, wordg[rr, :], w), xv.dtype))
+            xv[:, rows_sl, :] = jnp.stack(outs, axis=1)
+            return 0
+
+        jax.lax.fori_loop(0, rt // grp, body, 0, unroll=False)
+
+    off = pl.multiple_of(i * CHUNK, CHUNK)
+    y_ref[...] = xv[:, :, pl.ds(off, CHUNK)]
+    o_ref[...] = jnp.swapaxes(y_ref[...], 1, 2)
+
+
+def tlp_dg_pre_ok(d: int, r: int, c: int, dtype) -> bool:
+    """x is [d, r, c]; the permute acts on the TRANSPOSED view's rows
+    (length r), tiled by C-slabs of TLP_RT lanes."""
+    if not dg_ok(d, c, r, dtype):           # row length r, c rows
+        return False
+    if r % TLP_RT or c % TLP_RT:
+        return False
+    isz = jnp.dtype(dtype).itemsize
+    tile = d * TLP_RT * r * isz
+    tmp = 2 * d * TLP_RT * TLP_RT * isz
+    return tile + tmp + (8 << 20) <= _TLP_BUDGET
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def transposed_local_permute_dg_pre(x: jnp.ndarray, packed: jnp.ndarray,
+                                    interpret: bool = False) -> jnp.ndarray:
+    """x: [d, R, C]; packed W=128 hier tables [C, R] → out [d, R, C] with
+    out[:, r, c] = x[:, full_perm[c, r], c]
+    (= bt(rlp_dg(bt(x))) = tlp_dg(bt(x)) in ONE HBM round trip — the
+    _sig_inverse composition without the standalone bt pass)."""
+    d, r, c = x.shape
+    assert packed.shape == (c, r), (packed.shape, x.shape)
+    assert tlp_dg_pre_ok(d, r, c, x.dtype), (x.shape, x.dtype)
+    return pl.pallas_call(
+        functools.partial(_tlp_dg_pre_kernel, w=DG_W),
+        grid=(c // TLP_RT, r // CHUNK),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec((TLP_RT, r), lambda j, i: (j, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((d, CHUNK, TLP_RT), lambda j, i: (0, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((d, r, c), x.dtype),
+        scratch_shapes=[pltpu.VMEM((d, TLP_RT, r), x.dtype),
+                        pltpu.VMEM((2, d, TLP_RT, TLP_RT), x.dtype),
+                        pltpu.VMEM((d, TLP_RT, CHUNK), x.dtype),
+                        pltpu.SemaphoreType.DMA((2,))],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_TLP_BUDGET + (16 << 20)),
+        interpret=interpret,
+    )(x, packed)
+
+
 # ---------------------------------------------------------------------------
 # Hierarchical row-local permute (second Clos level, ops/benes.py
 # route_rows_hier): each length-C row is itself a routed [B, W=128] grid, so

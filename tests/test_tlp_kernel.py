@@ -113,3 +113,27 @@ def test_tlp_bfly_matches_reference():
     out = np.asarray(transposed_local_permute_bfly(
         jnp.asarray(x), jnp.asarray(words), interpret=True))
     np.testing.assert_array_equal(out, _ref(x, p.astype(np.int32)))
+
+
+def test_tlp_dg_pre_matches_reference():
+    """Fused bt+tlp_dg (transposed-input DMA, permute.py
+    _tlp_dg_pre_kernel): out[:, r, c] == x[:, perm[c, r], c] — the
+    _sig_inverse composition without the standalone block_transpose."""
+    from ihgnn_tpu.ops.benes import route_rows_hier
+    from ihgnn_tpu.ops.pallas.permute import (DG_W, tlp_dg_pre_ok,
+                                              transposed_local_permute_dg_pre)
+    rng = np.random.default_rng(6)
+    d, r, c = 32, 512, 256                    # permute rows length r (B=4)
+    x = rng.standard_normal((d, r, c)).astype(np.float32)
+    perm = np.stack([rng.permutation(r) for _ in range(c)])       # [c, r]
+    packed = route_rows_hier(perm, DG_W)
+    assert tlp_dg_pre_ok(d, r, c, jnp.float32)
+    ref = np.empty((d, r, c), np.float32)
+    for cc in range(c):
+        ref[:, :, cc] = x[:, perm[cc], cc]
+    for dt in (jnp.float32, jnp.bfloat16):
+        xd = jnp.asarray(x).astype(dt)
+        out = np.asarray(transposed_local_permute_dg_pre(
+            xd, jnp.asarray(packed), interpret=True), np.float32)
+        np.testing.assert_array_equal(
+            out, np.asarray(jnp.asarray(ref).astype(dt), np.float32))
