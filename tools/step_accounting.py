@@ -32,8 +32,20 @@ import numpy as np
 
 sys.path.insert(0, "/root/repo")
 
-E, D = 2_000_000, 32
-U, Q, I, V = 200_000, 100_000, 400_000, 100_000
+import argparse
+
+_ap = argparse.ArgumentParser()
+_ap.add_argument("--edges", type=int, default=2_000_000)
+_ap.add_argument("--users", type=int, default=200_000)
+_ap.add_argument("--queries", type=int, default=100_000)
+_ap.add_argument("--items", type=int, default=400_000)
+_ap.add_argument("--vocab", type=int, default=100_000)
+_ap.add_argument("--remat", action="store_true", default=False)
+_ap.add_argument("--out", default="/root/repo/docs/STEP_ACCOUNTING.json")
+_ARGS = _ap.parse_args()
+
+E, D = _ARGS.edges, 32
+U, Q, I, V = _ARGS.users, _ARGS.queries, _ARGS.items, _ARGS.vocab
 N = U + Q + I
 HBM = 819e9
 ISZ = 2            # bf16 streams
@@ -225,7 +237,7 @@ def main():
 
     cfg = Config(model=ModelConfig(embedding_size=D, gnn_layer_count=2,
                                    feature_interaction_order=3,
-                                   bf16_stream=True),
+                                   bf16_stream=True, remat=_ARGS.remat),
                  train=TrainConfig(batch_size=1024,
                                    random_negative_sample_size=10))
     model = RawGnn(cfg=cfg.model, user_count=U, query_count=Q, item_count=I,
@@ -285,7 +297,7 @@ def main():
                  "plus XLA scheduling between kernels."),
     }
     print(json.dumps(out, indent=1))
-    with open("/root/repo/docs/STEP_ACCOUNTING.json", "w") as fh:
+    with open(_ARGS.out, "w") as fh:
         json.dump(out, fh, indent=1)
 
 
