@@ -41,11 +41,13 @@ def build_bench_graph(user_count, query_count, item_count, edge_count, seed=0):
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              ".cache")
     # v4: dg stage tables by default (round 4; v3 = σ packs + W-parametric
-    # hier). The pack A/B env knobs (packing.py) are part of the cache
-    # identity.
+    # hier). Long grids now chunk into dg-eligible [<=2048, cols] slices
+    # (ChunkedHyperPack) — stale pre-chunking 10M caches were deleted when
+    # that landed; the knob is part of the key. The pack A/B env knobs
+    # (packing.py) are part of the cache identity.
     knobs = "_".join(f"{k}{os.environ.get(k, '')}" for k in
                      ("IHGNN_SIGMA", "IHGNN_HIER_W", "IHGNN_PACK_COLS",
-                      "IHGNN_STAGE_KIND")
+                      "IHGNN_STAGE_KIND", "IHGNN_CHUNK_ROWS_CAP")
                      if os.environ.get(k))
     key = f"benchgraph_v4{knobs}_u{user_count}_q{query_count}" \
           f"_i{item_count}_e{edge_count}_s{seed}.pkl"

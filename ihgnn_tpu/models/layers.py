@@ -170,7 +170,7 @@ class IHGNNLayer(nn.Module):
         # (hyperagg.absorb_i_ok): single-chip σ packs on the Pallas path,
         # not under phase-2 attention (which consumes edge_t only — the
         # second output would be dead work)
-        from ihgnn_tpu.ops.hyperagg import absorb_i_ok
+        from ihgnn_tpu.ops.hyperagg import absorb_i_ok, absorb_tables
         kp = getattr(graph, "kp", None)
         stream = jnp.bfloat16 if self.bf16_stream else jnp.float32
         absorb = (use_pallas(graph) and not self.phase2_attention
@@ -184,9 +184,7 @@ class IHGNNLayer(nn.Module):
                                    self.out_dim, name="interactor")(
                                        gather(x_t), fused_ok=use_pallas(graph),
                                        mesh=None if skp is None else skp.mesh,
-                                       absorb=(kp.i.fwd_p2.tab,
-                                               kp.i.inv_p2.tab,
-                                               kp.sig_mask, kp.cols)
+                                       absorb=absorb_tables(kp)
                                        if absorb else None)
         if absorb:
             # edge_t is the (o1 σ-ordered, o2 ρ-permuted) pair; scatter

@@ -284,9 +284,15 @@ def _to_rank_blocks(y, rp, rows, cols, sigma):
 def sigma_to_edge_order(edge_t, kp):
     """Re-label a σ-ordered edge stream into TRUE edge order (the q-role's
     final Clos stage) — for consumers indexing edges by id (phase-2
-    attention over the incidence)."""
+    attention over the incidence). Chunk concat IS global edge order
+    (chunks are contiguous edge slices)."""
     if not getattr(kp, "sigma", False):
         return edge_t
+    if _is_chunked(kp):
+        return jnp.concatenate(
+            [sigma_to_edge_order(sl, pk)
+             for pk, sl in zip(kp.packs, _chunk_slices(edge_t, kp))],
+            axis=1)
     d = edge_t.shape[0]
     out = _rlp(edge_t.reshape(d, kp.rows, kp.cols), kp.sig_stage)
     return out.reshape(d, kp.rows * kp.cols)
@@ -314,7 +320,30 @@ def _segsum_regions(region_u, region_q_t1, region_i_t1, kp):
                               block=getattr(kp, "seg_block", 1024))
 
 
+def _is_chunked(kp) -> bool:
+    from ihgnn_tpu.ops.packing import ChunkedHyperPack
+    return isinstance(kp, ChunkedHyperPack)
+
+
+def _chunk_slices(edge_t, kp):
+    """Split a [d, e_pad_total] stream into the per-chunk [d, e_pad_k]
+    slices (chunks are contiguous in the concat)."""
+    out, off = [], 0
+    for pk in kp.packs:
+        out.append(edge_t[:, off:off + pk.e_pad])
+        off += pk.e_pad
+    return out
+
+
 def _gather_impl(x_pad, kp):
+    if _is_chunked(kp):
+        us, qs, ii = [], [], []
+        for pk in kp.packs:
+            us.append(_expand(x_pad, pk.u_expand))
+            qs.append(_role_forward(x_pad, pk.q, pk.rows, pk.cols))
+            ii.append(_role_forward(x_pad, pk.i, pk.rows, pk.cols))
+        return (jnp.concatenate(us, axis=1), jnp.concatenate(qs, axis=1),
+                jnp.concatenate(ii, axis=1))
     u = _expand(x_pad, kp.u_expand)
     q = _role_forward(x_pad, kp.q, kp.rows, kp.cols)
     i = _role_forward(x_pad, kp.i, kp.rows, kp.cols)
@@ -322,6 +351,12 @@ def _gather_impl(x_pad, kp):
 
 
 def _scatter_impl(edge_t, kp):
+    if _is_chunked(kp):
+        total = None
+        for pk, sl in zip(kp.packs, _chunk_slices(edge_t, kp)):
+            part = _scatter_impl(sl, pk)
+            total = part if total is None else total + part
+        return total
     region_q = _to_rank_blocks(edge_t, kp.q, kp.rows, kp.cols, kp.sigma)
     region_i = _to_rank_blocks(edge_t, kp.i, kp.rows, kp.cols, kp.sigma)
     return _segsum_regions(edge_t, region_q, region_i, kp)
@@ -343,9 +378,19 @@ def _gather_fwd(x_pad, kp):
 
 def _gather_bwd(kp, cot):
     cu, cq, ci = cot
-    cot_q = _to_rank_blocks(cq, kp.q, kp.rows, kp.cols, kp.sigma)
-    cot_i = _to_rank_blocks(ci, kp.i, kp.rows, kp.cols, kp.sigma)
-    grad = _segsum_regions(cu, cot_q, cot_i, kp)        # f32 accumulation
+    if _is_chunked(kp):
+        grad = None
+        for pk, su, sq, si in zip(kp.packs, _chunk_slices(cu, kp),
+                                  _chunk_slices(cq, kp),
+                                  _chunk_slices(ci, kp)):
+            cot_q = _to_rank_blocks(sq, pk.q, pk.rows, pk.cols, pk.sigma)
+            cot_i = _to_rank_blocks(si, pk.i, pk.rows, pk.cols, pk.sigma)
+            part = _segsum_regions(su, cot_q, cot_i, pk)
+            grad = part if grad is None else grad + part
+    else:
+        cot_q = _to_rank_blocks(cq, kp.q, kp.rows, kp.cols, kp.sigma)
+        cot_i = _to_rank_blocks(ci, kp.i, kp.rows, kp.cols, kp.sigma)
+        grad = _segsum_regions(cu, cot_q, cot_i, kp)    # f32 accumulation
     # gather is dtype-preserving, so the primal x_pad dtype == cot dtype
     grad = jnp.pad(grad.astype(cu.dtype), ((0, 0), (0, kp.src_pad - kp.n)))
     return grad, _f0_tree(kp)
@@ -365,6 +410,23 @@ def _scatter_fwd(edge_t, kp):
     return _scatter_impl(edge_t, kp), (kp, jnp.zeros((0,), edge_t.dtype))
 
 
+def _scatter_grad_one(cot_pad, kp):
+    """Edge-stream gradient of one pack's scatter: the three role
+    expansions of the node cotangent, σ-pad leakage masked."""
+    grad = (_expand(cot_pad, kp.u_expand)
+            + _role_forward(cot_pad, kp.q, kp.rows, kp.cols)
+            + _role_forward(cot_pad, kp.i, kp.rows, kp.cols))
+    if kp.e_pad != kp.e:
+        if kp.sigma:
+            grad = grad * kp.sig_mask.astype(grad.dtype)
+        else:
+            d = grad.shape[0]
+            grad = jnp.concatenate(
+                [grad[:, :kp.e],
+                 jnp.zeros((d, kp.e_pad - kp.e), grad.dtype)], axis=1)
+    return grad
+
+
 def _scatter_bwd(res, cot):
     kp, e_token = res
     # run the backward expansion in the edge-stream dtype (the cotangent
@@ -372,6 +434,10 @@ def _scatter_bwd(res, cot):
     # stream is bf16, standard mixed-precision practice)
     cot_pad = jnp.pad(cot.astype(e_token.dtype),
                       ((0, 0), (0, kp.src_pad - kp.n)))
+    if _is_chunked(kp):
+        grad = jnp.concatenate(
+            [_scatter_grad_one(cot_pad, pk) for pk in kp.packs], axis=1)
+        return grad, _f0_tree(kp)
     grad = (_expand(cot_pad, kp.u_expand)
             + _role_forward(cot_pad, kp.q, kp.rows, kp.cols)
             + _role_forward(cot_pad, kp.i, kp.rows, kp.cols))
@@ -411,20 +477,59 @@ _scatter_pallas.defvjp(_scatter_fwd, _scatter_bwd)
 
 def absorb_i_ok(kp, d: int, dtype) -> bool:
     """Static gate: σ pack with dg-packed i-role final stages whose rows
-    nest inside the interaction kernel's blocks."""
+    nest inside the interaction kernel's blocks. Chunked packs qualify
+    when every chunk does — the per-chunk p2 tables concatenate along the
+    row axis into one table (all chunks share cols, so block/row nesting
+    is unchanged; see absorb_tables)."""
     import os
     if kp is None or not getattr(kp, "sigma", False):
         return False
     if os.environ.get("IHGNN_ABSORB_I", "1") != "1":
         return False
+    from ihgnn_tpu.ops.pallas.interact import absorb_blk_ok
+    if _is_chunked(kp):
+        total_rows = 0
+        for pk in kp.packs:
+            pi, rho = pk.i.fwd_p2, pk.i.inv_p2
+            if (pi is None or rho is None or pi.kind != "dg"
+                    or rho.kind != "dg"):
+                return False
+            total_rows += pk.rows
+        return absorb_blk_ok(kp.e_pad, total_rows, kp.cols, d, dtype)
     pi, rho = kp.i.fwd_p2, kp.i.inv_p2
     if pi is None or rho is None or pi.kind != "dg" or rho.kind != "dg":
         return False
-    from ihgnn_tpu.ops.pallas.interact import absorb_blk_ok
     return absorb_blk_ok(kp.e_pad, kp.rows, kp.cols, d, dtype)
 
 
+def absorb_tables(kp):
+    """(fwd_p2 tab, inv_p2 tab, sig_mask, cols) for the absorbed
+    interaction — per-chunk tables concatenated for ChunkedHyperPack
+    (row-axis concat; sig_mask gaps filled with ones)."""
+    if not _is_chunked(kp):
+        return (kp.i.fwd_p2.tab, kp.i.inv_p2.tab, kp.sig_mask, kp.cols)
+    pi = jnp.concatenate([pk.i.fwd_p2.tab for pk in kp.packs], axis=0)
+    rho = jnp.concatenate([pk.i.inv_p2.tab for pk in kp.packs], axis=0)
+    if all(pk.sig_mask is None for pk in kp.packs):
+        mask = None
+    else:
+        mask = jnp.concatenate(
+            [pk.sig_mask if pk.sig_mask is not None
+             else jnp.ones((1, pk.e_pad), jnp.float32) for pk in kp.packs],
+            axis=1)
+    return pi, rho, mask, kp.cols
+
+
 def _gather_pre_impl(x_pad, kp):
+    if _is_chunked(kp):
+        us, qs, ii = [], [], []
+        for pk in kp.packs:
+            us.append(_expand(x_pad, pk.u_expand))
+            qs.append(_role_forward(x_pad, pk.q, pk.rows, pk.cols))
+            ii.append(_role_forward(x_pad, pk.i, pk.rows, pk.cols,
+                                    stop_pre_p2=True))
+        return (jnp.concatenate(us, axis=1), jnp.concatenate(qs, axis=1),
+                jnp.concatenate(ii, axis=1))
     u = _expand(x_pad, kp.u_expand)
     q = _role_forward(x_pad, kp.q, kp.rows, kp.cols)
     i = _role_forward(x_pad, kp.i, kp.rows, kp.cols, stop_pre_p2=True)
@@ -442,9 +547,19 @@ def _gather_pre_fwd(x_pad, kp):
 
 def _gather_pre_bwd(kp, cot):
     cu, cq, ci = cot                 # ci arrives t1-ordered
-    cot_q = _sig_inverse(cq, kp.q, kp.rows, kp.cols)
-    cot_i = _sig_inverse(ci, kp.i, kp.rows, kp.cols, from_pre=True)
-    grad = _segsum_regions(cu, cot_q, cot_i, kp)
+    if _is_chunked(kp):
+        grad = None
+        for pk, su, sq, si in zip(kp.packs, _chunk_slices(cu, kp),
+                                  _chunk_slices(cq, kp),
+                                  _chunk_slices(ci, kp)):
+            cot_q = _sig_inverse(sq, pk.q, pk.rows, pk.cols)
+            cot_i = _sig_inverse(si, pk.i, pk.rows, pk.cols, from_pre=True)
+            part = _segsum_regions(su, cot_q, cot_i, pk)
+            grad = part if grad is None else grad + part
+    else:
+        cot_q = _sig_inverse(cq, kp.q, kp.rows, kp.cols)
+        cot_i = _sig_inverse(ci, kp.i, kp.rows, kp.cols, from_pre=True)
+        grad = _segsum_regions(cu, cot_q, cot_i, kp)
     grad = jnp.pad(grad.astype(cu.dtype), ((0, 0), (0, kp.src_pad - kp.n)))
     return grad, _f0_tree(kp)
 
@@ -453,6 +568,13 @@ _gather_pre_pallas.defvjp(_gather_pre_fwd, _gather_pre_bwd)
 
 
 def _scatter2_impl(edge_t, pre_i, kp):
+    if _is_chunked(kp):
+        total = None
+        for pk, se, sp in zip(kp.packs, _chunk_slices(edge_t, kp),
+                              _chunk_slices(pre_i, kp)):
+            part = _scatter2_impl(se, sp, pk)
+            total = part if total is None else total + part
+        return total
     region_q = _sig_inverse(edge_t, kp.q, kp.rows, kp.cols)
     region_i = _sig_inverse(pre_i, kp.i, kp.rows, kp.cols, from_pre=True)
     return _segsum_regions(edge_t, region_q, region_i, kp)
@@ -472,13 +594,22 @@ def _scatter2_bwd(res, cot):
     kp, e_token = res
     cot_pad = jnp.pad(cot.astype(e_token.dtype),
                       ((0, 0), (0, kp.src_pad - kp.n)))
+    # σ-pad expansion junk is zeroed on the MERGED cotangent inside the
+    # absorbed interaction backward (interact.py masks c1 + π(c2) with
+    # the sig_mask), so neither stream needs masking here.
+    if _is_chunked(kp):
+        grad_e = jnp.concatenate(
+            [_expand(cot_pad, pk.u_expand)
+             + _role_forward(cot_pad, pk.q, pk.rows, pk.cols)
+             for pk in kp.packs], axis=1)
+        grad_pre = jnp.concatenate(
+            [_role_forward(cot_pad, pk.i, pk.rows, pk.cols,
+                           stop_pre_p2=True) for pk in kp.packs], axis=1)
+        return grad_e, grad_pre, _f0_tree(kp)
     grad_e = (_expand(cot_pad, kp.u_expand)
               + _role_forward(cot_pad, kp.q, kp.rows, kp.cols))
     grad_pre = _role_forward(cot_pad, kp.i, kp.rows, kp.cols,
                              stop_pre_p2=True)
-    # σ-pad expansion junk is zeroed on the MERGED cotangent inside the
-    # absorbed interaction backward (interact.py masks c1 + π(c2) with
-    # kp.sig_mask), so neither stream needs masking here.
     return grad_e, grad_pre, _f0_tree(kp)
 
 

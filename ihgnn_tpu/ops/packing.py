@@ -97,6 +97,34 @@ class RolePack:
 
 
 @struct.dataclass
+class ChunkedHyperPack:
+    """K per-chunk HyperKernelPacks over contiguous edge slices (round 4).
+
+    A 10M-edge grid at cols=1024 has 9856-entry rows in the transposed
+    orientation — past the dg/hier exchange cap (B <= 16), where the flat
+    int8 long-row kernel measures ~525 ms/pass on today's toolchain
+    (docs/STRESS_ACCOUNTING_r04.json sig_inverse_q: 555 ms vs 3.1 floor;
+    x16 passes = the whole 11.2 s stress step). Chunking splits the edge
+    axis into contiguous slices that each pack at the PROVEN [<=2048,
+    1024] grid where every stage kernel is dg-eligible — the same
+    edge-sharding math the multi-chip path uses, applied on one chip:
+    role chains run per chunk and concatenate (chunk slices are
+    contiguous in u-sorted edge order, so the concat IS global edge
+    order), scatter segment-sums run per chunk into [d, N] partials and
+    add. The i-role interaction absorption survives: all chunks share
+    ``cols``, so the per-chunk p2 tables concatenate along the row axis
+    into one table the interaction kernel consumes unchanged
+    (``absorb_tables``)."""
+    packs: Any                 # tuple of HyperKernelPack, uniform cols
+    e: int = struct.field(pytree_node=False, default=0)
+    n: int = struct.field(pytree_node=False, default=0)
+    e_pad: int = struct.field(pytree_node=False, default=0)  # sum e_pad
+    cols: int = struct.field(pytree_node=False, default=0)
+    src_pad: int = struct.field(pytree_node=False, default=0)  # max
+    sigma: bool = struct.field(pytree_node=False, default=True)
+
+
+@struct.dataclass
 class HyperKernelPack:
     """All device operands for the Pallas hypergraph aggregation."""
     u_expand: ExpandPack                       # u-role: expansion only
@@ -287,8 +315,8 @@ def _row_inverse(p: np.ndarray) -> np.ndarray:
 
 
 def build_hyper_kernel_pack(i3: np.ndarray, node_count: int,
-                            cols: int = 1024, sigma: bool = True
-                            ) -> Optional[HyperKernelPack]:
+                            cols: int = 1024, sigma: bool = True,
+                            chunk_rows_cap: Optional[int] = None):
     """Pack a HyperGraph's structure for the Pallas pipeline, or None when
     any banded-gather row exceeds W_CAP (XLA fallback).
 
@@ -328,6 +356,32 @@ def build_hyper_kernel_pack(i3: np.ndarray, node_count: int,
     if os.environ.get("IHGNN_SIGMA") == "0":    # A/B probe override
         sigma = False
     rows, cols = pick_grid(e, cols)
+
+    # Long grids chunk into contiguous edge slices that each pack at a
+    # dg-eligible [<= cap, cols] grid (see ChunkedHyperPack). σ path only
+    # (the sharded per-shard packs are small and slice exact-e tails).
+    if chunk_rows_cap is None:
+        chunk_rows_cap = int(os.environ.get("IHGNN_CHUNK_ROWS_CAP", "2048"))
+    if sigma and chunk_rows_cap and rows > chunk_rows_cap:
+        s = chunk_rows_cap * cols
+        k = -(-e // s)
+        subs = []
+        for j in range(k):
+            pk = build_hyper_kernel_pack(i3[j * s:(j + 1) * s], node_count,
+                                         cols, sigma=True, chunk_rows_cap=0)
+            if pk is None:
+                return None
+            subs.append(pk)
+        src_pad = max(pk.src_pad for pk in subs)
+        # windowed_gather tolerates sources LONGER than a pack's own
+        # src_pad, so unifying the static field is enough — the chains
+        # pad x once to the max
+        subs = [pk.replace(src_pad=src_pad) for pk in subs]
+        return ChunkedHyperPack(
+            packs=tuple(subs), e=e, n=int(node_count),
+            e_pad=sum(pk.e_pad for pk in subs), cols=cols,
+            src_pad=src_pad, sigma=True)
+
     e_pad = rows * cols
     exp_cols = max(EXPAND_COLS, cols)
     seg_block = max(1024, cols)

@@ -170,3 +170,126 @@ def test_absorbed_pipeline_matches_unabsorbed(graph):
                                rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(np.asarray(gw_a), np.asarray(gw_p),
                                rtol=1e-3, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# chunked packs (round 4): long grids split into dg-eligible chunks
+# ---------------------------------------------------------------------------
+
+
+def _make_chunked(E=33000, cap=128, cols=128, seed=9):
+    from ihgnn_tpu.ops.packing import (ChunkedHyperPack,
+                                       build_hyper_kernel_pack)
+    U, Q, I = 50, 40, 60
+    N = U + Q + I
+    rng = np.random.default_rng(seed)
+    u = np.sort(rng.integers(0, U, E))
+    i3 = np.stack([u, U + rng.integers(0, Q, E),
+                   U + Q + rng.integers(0, I, E)], axis=1).astype(np.int64)
+    ckp = build_hyper_kernel_pack(i3, N, cols=cols, chunk_rows_cap=cap)
+    assert isinstance(ckp, ChunkedHyperPack), type(ckp)
+    return i3, N, ckp
+
+
+def _edge_pos_chunked(ckp):
+    """Concat-stream position of each (true) edge id, in edge order."""
+    pos, off = [], 0
+    for pk in ckp.packs:
+        pos.append(_edge_pos(pk)[:pk.e] + off)
+        off += pk.e_pad
+    return np.concatenate(pos)
+
+
+def test_chunked_pack_structure():
+    i3, N, ckp = _make_chunked()
+    assert len(ckp.packs) == 3
+    assert ckp.e == i3.shape[0] and ckp.e_pad == sum(
+        pk.e_pad for pk in ckp.packs)
+    assert all(pk.rows <= 128 for pk in ckp.packs)
+    assert all(pk.src_pad == ckp.src_pad for pk in ckp.packs)
+    # last (partial) chunk carries the σ-pad mask
+    assert ckp.packs[-1].e < ckp.packs[-1].e_pad
+    assert ckp.packs[-1].sig_mask is not None
+
+
+def test_chunked_gather_scatter_and_grads():
+    """Chunked custom-VJP gather/scatter == direct XLA formulas, values
+    and gradients (the stress-scale pack form, scaled down)."""
+    i3, N, ckp = _make_chunked()
+    E = i3.shape[0]
+    rng = np.random.default_rng(3)
+    pos = jnp.asarray(_edge_pos_chunked(ckp))
+    x = jnp.asarray(rng.standard_normal((D, N)).astype(np.float32))
+    ef_edge = jnp.asarray(rng.standard_normal((D, E)).astype(np.float32))
+    w3 = jnp.asarray(rng.standard_normal((D, 3 * E)).astype(np.float32))
+    wn = jnp.asarray(rng.standard_normal((D, N)).astype(np.float32))
+    i3j = jnp.asarray(i3)
+
+    def to_sigma(ef):
+        out = jnp.zeros((D, ckp.e_pad), ef.dtype)
+        return out.at[:, pos].set(ef)
+
+    def loss_pallas(x, ef):
+        g = _gather_roles_pallas(_pad(x, ckp.src_pad), ckp)
+        real = jnp.concatenate([g[r][:, pos] for r in range(3)], axis=1)
+        return (jnp.sum(real * w3)
+                + jnp.sum(_scatter_pallas(to_sigma(ef), ckp) * wn))
+
+    def loss_xla(x, ef):
+        real = jnp.concatenate([x[:, i3j[:, r]] for r in range(3)], axis=1)
+        out = jnp.zeros((D, N), jnp.float32)
+        for r in range(3):
+            out = out.at[:, i3j[:, r]].add(ef)
+        return jnp.sum(real * w3) + jnp.sum(out * wn)
+
+    with pltpu.force_tpu_interpret_mode():
+        lp, (gx_p, ge_p) = jax.value_and_grad(loss_pallas, argnums=(0, 1))(
+            x, ef_edge)
+    lx, (gx_x, ge_x) = jax.value_and_grad(loss_xla, argnums=(0, 1))(
+        x, ef_edge)
+    assert float(lp) == pytest.approx(float(lx), rel=1e-4)
+    np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_x),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(ge_p), np.asarray(ge_x),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_chunked_absorbed_matches_unabsorbed():
+    """The i-role absorption with CONCATENATED per-chunk p2 tables
+    (hyperagg.absorb_tables) == the plain chunked pipeline."""
+    from ihgnn_tpu.ops.hyperagg import (_gather_pre_pallas, _scatter2_pallas,
+                                        absorb_i_ok, absorb_tables)
+    from ihgnn_tpu.ops.pallas.interact import (fused_interaction,
+                                               fused_interaction_absorb)
+
+    i3, N, ckp = _make_chunked(E=20000)
+    assert absorb_i_ok(ckp, D, jnp.float32)
+    pi, rho, mask, cols = absorb_tables(ckp)
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((D, N)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((7 * D, D)).astype(np.float32) * 0.1)
+    b2 = jnp.asarray(rng.standard_normal((D, 1)).astype(np.float32))
+
+    def loss_plain(x, w):
+        u, q, i = _gather_roles_pallas(_pad(x, ckp.src_pad), ckp)
+        o1 = fused_interaction(u, q, i, w, b2, 3)
+        out = _scatter_pallas(o1, ckp)
+        return jnp.sum(out * out)
+
+    def loss_absorb(x, w):
+        u, q, i_t1 = _gather_pre_pallas(_pad(x, ckp.src_pad), ckp)
+        o1, o2 = fused_interaction_absorb(u, q, i_t1, w, b2, pi, rho,
+                                          mask, 3, cols)
+        out = _scatter2_pallas(o1, o2, ckp)
+        return jnp.sum(out * out)
+
+    with pltpu.force_tpu_interpret_mode():
+        lp, (gx_p, gw_p) = jax.value_and_grad(loss_plain,
+                                              argnums=(0, 1))(x, w)
+        la, (gx_a, gw_a) = jax.value_and_grad(loss_absorb,
+                                              argnums=(0, 1))(x, w)
+    assert float(la) == pytest.approx(float(lp), rel=1e-4)
+    np.testing.assert_allclose(np.asarray(gx_a), np.asarray(gx_p),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gw_a), np.asarray(gw_p),
+                               rtol=1e-3, atol=1e-3)
