@@ -568,12 +568,77 @@ def _dg_permute_row(x, word, w: int):
     return jnp.concatenate(outs, axis=1)
 
 
+def _dgv_permute_block(xg, wordg, w: int):
+    """FULL-BLOCK row-local permute (round 4, docs/DGV_PROBE.json): the
+    per-row loop above costs ~1 us/row of fixed overhead ([d, 1, C] slab
+    relayouts + per-row index prep) — the whole pass at the bench shape.
+    tpu.dynamic_gather takes a full [S, L] index OPERAND, so indices may
+    differ PER SUBLANE: merge [d, g, C] -> [d*g, C] (layout-preserving
+    for g % 8 == 0 — C stays the lane dim, tiles are reindexed) and run
+    b=C/w block gathers + ONE shared mux tree for all rows at once.
+    bf16 upcasts to f32 in VMEM (exact — pure data movement; measured
+    FASTER than the per-row u32 sublane-bitcast: 1.77 vs 2.38 ms/pass,
+    and 16-bit indices don't survive lowering, docs/DG2_PROBE.json)."""
+    d, g, c = xg.shape
+    b = c // w
+    odtype = xg.dtype
+    x2 = xg.reshape(d * g, c)
+    if x2.dtype != jnp.float32:
+        x2 = x2.astype(jnp.float32)
+    p0 = wordg & 1023
+    s = (wordg >> 10) & 1023
+    p2 = wordg >> 20
+
+    def idx(v):
+        return jnp.broadcast_to(v[None], (d,) + v.shape).reshape(
+            d * g, v.shape[1])
+
+    a0 = [jnp.take_along_axis(x2[:, j * w:(j + 1) * w],
+                              idx(p0[:, j * w:(j + 1) * w]), axis=1)
+          for j in range(b)]
+    outs = []
+    for bb in range(b):
+        if b == 1:
+            acc = a0[0]
+        else:
+            sb = idx(s[:, bb * w:(bb + 1) * w])
+            if b & (b - 1) == 0:
+                cur = list(a0)
+                k = 0
+                while len(cur) > 1:
+                    m = ((sb >> k) & 1) == 1
+                    cur = [jnp.where(m, cur[jj + 1], cur[jj])
+                           for jj in range(0, len(cur), 2)]
+                    k += 1
+                acc = cur[0]
+            else:
+                acc = a0[0]
+                for jj in range(1, b):
+                    acc = jnp.where(sb == jj, a0[jj], acc)
+        outs.append(jnp.take_along_axis(
+            acc, idx(p2[:, bb * w:(bb + 1) * w]), axis=1))
+    out = outs[0] if b == 1 else jnp.concatenate(outs, axis=1)
+    return out.astype(odtype).reshape(d, g, c)
+
+
 def _dg_kernel(x_ref, p_ref, o_ref, *, w: int):
-    d, rows, c = x_ref.shape
-    for r in range(rows):
-        x = _dg_widen(x_ref[:, r, :])
-        out = _dg_permute_row(x, p_ref[r, :], w)
-        o_ref[:, r, :] = _dg_narrow(out, o_ref.dtype)
+    o_ref[...] = _dgv_permute_block(x_ref[...], p_ref[...], w)
+
+
+def _dgv_rows(d: int, r: int, c: int, dtype) -> int:
+    """Block rows for the full-block kernel: bigger than _rlp_rows (the
+    merged [d*g, C] ops amortize grid overhead; probe: r32 ≥ r64 > r128)
+    while the f32 work arrays (~3 copies) + double-buffered io stay in
+    scoped VMEM."""
+    isz = jnp.dtype(dtype).itemsize
+    min_rows = 16 if dtype == jnp.bfloat16 else 8   # value-reshape tile
+    for rows in (32, 16, 8):
+        if rows < min_rows or r % rows:
+            continue
+        vmem = d * rows * c * (4 * isz + 3 * 4)
+        if vmem + (4 << 20) <= 80 << 20:
+            return rows
+    return _rlp_rows(d, r, c, dtype)
 
 
 def dg_ok(d: int, r: int, c: int, dtype) -> bool:
@@ -603,7 +668,7 @@ def row_local_permute_dg(x: jnp.ndarray, packed: jnp.ndarray,
     d, r, c = x.shape
     assert packed.shape == (r, c), (packed.shape, x.shape)
     assert dg_ok(d, r, c, x.dtype), (x.shape, x.dtype)
-    rows = _rlp_rows(d, r, c, x.dtype)
+    rows = _dgv_rows(d, r, c, x.dtype)
     return pl.pallas_call(
         functools.partial(_dg_kernel, w=DG_W),
         grid=(r // rows,),
@@ -639,14 +704,8 @@ def _tlp_dg_kernel(x_hbm, p_ref, o_ref, xv, y_ref, sem, *, w: int):
 
         def body(g, _):
             rows_sl = pl.ds(g * grp, grp)
-            xg = xv[:, rows_sl, :]
-            wordg = p_ref[rows_sl, :]
-            outs = []
-            for rr in range(grp):
-                x = _dg_widen(xg[:, rr, :])
-                outs.append(_dg_narrow(
-                    _dg_permute_row(x, wordg[rr, :], w), xv.dtype))
-            xv[:, rows_sl, :] = jnp.stack(outs, axis=1)
+            xv[:, rows_sl, :] = _dgv_permute_block(
+                xv[:, rows_sl, :], p_ref[rows_sl, :], w)
             return 0
 
         jax.lax.fori_loop(0, rt // grp, body, 0, unroll=False)
@@ -731,14 +790,8 @@ def _tlp_dg_pre_kernel(x_hbm, p_ref, o_ref, xv, tbuf, y_ref, sems, *,
 
         def body(g, _):
             rows_sl = pl.ds(g * grp, grp)
-            xg = xv[:, rows_sl, :]
-            wordg = p_ref[rows_sl, :]
-            outs = []
-            for rr in range(grp):
-                x = _dg_widen(xg[:, rr, :])
-                outs.append(_dg_narrow(
-                    _dg_permute_row(x, wordg[rr, :], w), xv.dtype))
-            xv[:, rows_sl, :] = jnp.stack(outs, axis=1)
+            xv[:, rows_sl, :] = _dgv_permute_block(
+                xv[:, rows_sl, :], p_ref[rows_sl, :], w)
             return 0
 
         jax.lax.fori_loop(0, rt // grp, body, 0, unroll=False)
