@@ -112,13 +112,20 @@ def main():
     # remote-compile request as literals and exceed its body limit at the
     # stress shape (HTTP 413).
 
-    # --- gather fwd+bwd (bf16). Byte model (traversals of [d, E] bf16):
-    # fwd: u expand r+w (2) + q,i chains 3 kernels x r+w (12) = 14
-    # bwd: q,i permute-to-t1 2 kernels x r+w (8) + segsum r(3E)+w(N~0.35E)
-    #      = 3.35 + ids 3E*4B
+    # --- gather fwd+bwd, ABSORB form — what the shipped layer dispatches
+    # (hyperagg.absorb_i_ok; VERDICT r4 weak #1: the accounting must
+    # measure the production composition). Byte model (traversals of
+    # [d, E] bf16):
+    # fwd: u expand r+w (2) + q chain 2 kernels x r+w (4) + i chain pre
+    #      2 kernels (4) = 10
+    # bwd: q,i sig-inverse 1 fused kernel each x r+w (4) + segsum
+    #      r(3E)+w(N~0.35E) = 3.35 + ids 3E*4B
+    from ihgnn_tpu.ops.hyperagg import absorb_i_ok
+    assert absorb_i_ok(kp, D, jnp.bfloat16), "bench pack must absorb"
+
     @jax.jit
     def g_both(x, graph, scale):
-        gather16, _ = make_hyper_ops(graph, bf16_stream=True)
+        gather16, _ = make_hyper_ops(graph, bf16_stream=True, absorb=True)
 
         def loss(x):
             u, q, i = gather16(x * scale)
@@ -129,23 +136,28 @@ def main():
         return l + 0 * jnp.sum(g)
 
     rec("gather_fwdbwd", timed(g_both, x, graph),
-        _floor_ms(14 + 8 + 3.35, extra_bytes=3 * E * 4))
+        _floor_ms(10 + 4 + 3.35, extra_bytes=3 * E * 4))
 
-    # --- scatter fwd+bwd (bf16):
-    # fwd: q,i to-t1 (8) + segsum r(3E)+w(N) + ids; bwd: u expand (2) +
-    # q,i chains (12)
+    # --- scatter fwd+bwd, ABSORB form (consumes the (edge_t, pre_i) pair
+    # the absorbed interaction emits):
+    # fwd: q,i sig-inverse (4) + segsum r(3E)+w(N) + ids; bwd: u expand
+    # (2) + q chain (4) + i chain pre (4) = 10
+    ef16b = jnp.asarray(rng.standard_normal((D, e_pad))).astype(jnp.bfloat16)
+
     @jax.jit
-    def s_both(ef, graph, scale):
-        _, scatter16 = make_hyper_ops(graph, bf16_stream=True)
+    def s_both(ef, efb, graph, scale):
+        _, scatter16 = make_hyper_ops(graph, bf16_stream=True, absorb=True)
 
-        def loss(ef):
+        def loss(ef, efb):
             # keep the stream bf16 (scale would silently promote to f32)
-            return jnp.sum(scatter16((ef * scale).astype(ef.dtype)) ** 2)
-        l, g = jax.value_and_grad(loss)(ef.astype(jnp.bfloat16))
-        return l + 0 * jnp.sum(g.astype(jnp.float32))
+            pair = ((ef * scale).astype(ef.dtype), efb)
+            return jnp.sum(scatter16(pair) ** 2)
+        l, g = jax.value_and_grad(loss, argnums=(0, 1))(
+            ef.astype(jnp.bfloat16), efb)
+        return l + 0 * sum(jnp.sum(v.astype(jnp.float32)) for v in g)
 
-    rec("scatter_fwdbwd", timed(s_both, ef16, graph),
-        _floor_ms(8 + 3.35 + 14, extra_bytes=3 * E * 4))
+    rec("scatter_fwdbwd", timed(s_both, ef16, ef16b, graph),
+        _floor_ms(4 + 3.35 + 10, extra_bytes=3 * E * 4))
 
     # --- isolated sub-kernels of the scatter path (round 4: locate the
     # next cut — segsum vs permute-chain split)
@@ -166,7 +178,15 @@ def main():
                            kp.cols)
         return jnp.sum(out[:, :8].astype(jnp.float32))
 
-    rec("sig_inverse_q (bt+tlp)", timed(sig_inv_q, ef16, kp), _floor_ms(4))
+    rec("sig_inverse_q", timed(sig_inv_q, ef16, kp), _floor_ms(2))
+
+    @jax.jit
+    def sig_inv_i(ef, kp, scale):
+        out = _sig_inverse((ef * scale).astype(ef.dtype), kp.i, kp.rows,
+                           kp.cols, from_pre=True)
+        return jnp.sum(out[:, :8].astype(jnp.float32))
+
+    rec("sig_inverse_i_pre", timed(sig_inv_i, ef16, kp), _floor_ms(2))
 
     @jax.jit
     def exp_u(x, kp, scale):
@@ -178,26 +198,35 @@ def main():
     xp = jnp.asarray(rng.standard_normal((D, kp.src_pad)).astype(np.float32))
     rec("u_expand", timed(exp_u, xp, kp), _floor_ms(2))
 
-    # --- fused interaction fwd+bwd, order 3 and order 1 (bf16):
-    # fwd: r 3E + w E = 4; bwd: r 3E (saved roles) + r E (cot) + w 3E = 7
+    # --- fused interaction fwd+bwd, ABSORB form (production), order 3 and
+    # order 1 (bf16): fwd: r 3E + w 2E (o1, o2) = 5; bwd: r 3E (saved
+    # roles) + r 2E (c1, c2) + w 3E = 8
+    from ihgnn_tpu.ops.hyperagg import absorb_tables
+    pi_tab, rho_tab, sig_mask, a_cols = absorb_tables(kp)
     mod3 = FeatureInteractor(3, D, D)
-    p3 = mod3.init(jax.random.key(0), roles16, fused_ok=True)
+    p3 = mod3.init(jax.random.key(0), roles16,
+                   absorb=(pi_tab, rho_tab, sig_mask, a_cols))
     mod1 = FeatureInteractor(1, D, D)
-    p1 = mod1.init(jax.random.key(0), roles16, fused_ok=True)
+    p1 = mod1.init(jax.random.key(0), roles16,
+                   absorb=(pi_tab, rho_tab, sig_mask, a_cols))
 
     def i_both(mod, params):
         @jax.jit
-        def f(r0, r1, r2, params, scale):
+        def f(r0, r1, r2, params, pi, rho, scale):
+            # sig_mask/a_cols stay in the closure: a_cols is a static int
+            # (a traced value would land in a custom_vjp nondiff slot)
             def loss(r0, params):
-                out = mod.apply(params, ((r0 * scale).astype(r0.dtype), r1, r2),
-                                fused_ok=True)
-                return jnp.sum((out * out).astype(jnp.float32))
+                o1, o2 = mod.apply(params,
+                                   ((r0 * scale).astype(r0.dtype), r1, r2),
+                                   absorb=(pi, rho, sig_mask, a_cols))
+                return (jnp.sum((o1 * o1).astype(jnp.float32))
+                        + jnp.sum((o2 * o2).astype(jnp.float32)))
             l, (g0, gp) = jax.value_and_grad(loss, argnums=(0, 1))(r0, params)
             return l + 0 * jnp.sum(g0.astype(jnp.float32))
-        return timed(f, *roles16, params)
+        return timed(f, *roles16, params, pi_tab, rho_tab)
 
-    rec("interact3_fwdbwd", i_both(mod3, p3), _floor_ms(11))
-    rec("interact1_fwdbwd", i_both(mod1, p1), _floor_ms(11))
+    rec("interact3_fwdbwd", i_both(mod3, p3), _floor_ms(13))
+    rec("interact1_fwdbwd", i_both(mod1, p1), _floor_ms(13))
 
     # --- X0 embedding assembly fwd+bwd (routed word-bag backward)
     from ihgnn_tpu.models.embedding import EmbeddingTables
