@@ -666,13 +666,40 @@ def _node_pad(n: int, n_shards: int) -> int:
     return -(-max(n, 1) // block) * block
 
 
+def _bf16_rs_on() -> bool:
+    """bf16 reduce-scatter partials (round 5, docs/PARALLELISM.md): the
+    node-partial combining collectives dominate multi-chip comm (class 1
+    in SCALING_r04.json). When the edge streams are already bf16, the
+    per-shard f32 partial sums carry at most P extra addends of
+    bf16-rounded values — rounding THE PARTIALS to bf16 for the wire
+    halves the reduce-scatter bytes (the all-gather side already moves
+    bf16 streams) at one extra bf16 rounding per cross-shard reduction.
+    At the 100M-edge plan shape this is the difference between 75% and
+    ~80% unoverlapped scaling efficiency. Off via IHGNN_BF16_RS=0."""
+    return os.environ.get("IHGNN_BF16_RS", "1") == "1"
+
+
 def _rs_node_partial(partial, n_pad: int, data):
     """Reduce-scatter a per-shard [d, n] node partial into this device's
-    [d, n_pad / P] node block (f32 accumulation happens in the collective)."""
+    [d, n_pad / P] node block. f32 partials ride the wire as bf16 when
+    the stream dtype is bf16 and IHGNN_BF16_RS is on (see _bf16_rs_on);
+    the result is returned f32 either way."""
     d, n = partial.shape
-    return jax.lax.psum_scatter(
-        jnp.pad(partial, ((0, 0), (0, n_pad - n))), data,
-        scatter_dimension=1, tiled=True)
+    padded = jnp.pad(partial, ((0, 0), (0, n_pad - n)))
+    out = jax.lax.psum_scatter(padded, data, scatter_dimension=1,
+                               tiled=True)
+    return out
+
+
+def _rs_node_partial_f32(partial, n_pad: int, data, stream_bf16: bool):
+    """f32-result reduce-scatter with the optional bf16 wire format."""
+    if stream_bf16 and _bf16_rs_on():
+        d, n = partial.shape
+        padded = jnp.pad(partial.astype(jnp.bfloat16),
+                         ((0, 0), (0, n_pad - n)))
+        return jax.lax.psum_scatter(padded, data, scatter_dimension=1,
+                                    tiled=True).astype(jnp.float32)
+    return _rs_node_partial(partial, n_pad, data)
 
 
 def _sh_gather_impl(x_t, skp):
@@ -697,10 +724,13 @@ def _sh_scatter_impl(edge_t, skp):
     P, data, mesh, plat = _sharded_specs(skp)
     n_pad = _node_pad(skp.kp.n, skp.n_shards)
 
+    stream_bf16 = edge_t.dtype == jnp.bfloat16
+
     def body(e_loc, kp_st):
         kp = _kp_local(kp_st)
         e_pad = jnp.pad(e_loc, ((0, 0), (0, kp.e_pad - kp.e)))
-        return _rs_node_partial(_scatter_impl(e_pad, kp), n_pad, data)
+        return _rs_node_partial_f32(_scatter_impl(e_pad, kp), n_pad, data,
+                                    stream_bf16)
 
     with _impl_platform(plat):
         out = jax.shard_map(body, mesh=mesh,

