@@ -27,6 +27,15 @@ def main():
     p.add_argument("--platform", choices=["cpu", "native"], default="cpu",
                    help="'cpu' forces the virtual host mesh; 'native' uses "
                         "the default backend (real multi-chip hardware)")
+    p.add_argument("--bf16_stream", action="store_true", default=False,
+                   help="bf16 edge streams (the bench/stress production "
+                        "config; engages the bf16 reduce-scatter partials)")
+    p.add_argument("--pack_kernels", action="store_true", default=False,
+                   help="force the per-shard kernel-pack (shard_map + "
+                        "psum_scatter) path even on the CPU mesh — the "
+                        "jnp reference twins run inside the bodies, so "
+                        "the compiled collectives match the production "
+                        "sharded program")
     a = p.parse_args()
     a.force_cpu = a.platform == "cpu"
 
@@ -62,14 +71,18 @@ def main():
     for n in counts:
         model_axis = 2 if n % 2 == 0 and n >= 4 else 1
         data_axis = n // model_axis
-        cfg = Config(model=ModelConfig(embedding_size=D, gnn_layer_count=2),
+        cfg = Config(model=ModelConfig(embedding_size=D, gnn_layer_count=2,
+                                       bf16_stream=a.bf16_stream),
                      train=TrainConfig(batch_size=B,
                                        random_negative_sample_size=K),
                      mesh=MeshConfig(data=data_axis, model=model_axis))
         mesh = make_mesh(cfg.mesh) if n > 1 else None
         graph, uqif = build_bench_graph(U, Q, I, E)
-        # mesh → per-shard Pallas kernel packs (auto: TPU only)
-        graph = pad_hypergraph_for_mesh(graph, data_axis, mesh=mesh)
+        # mesh → per-shard Pallas kernel packs (auto: TPU only;
+        # --pack_kernels forces them for CPU-mesh HLO accounting)
+        graph = pad_hypergraph_for_mesh(graph, data_axis, mesh=mesh,
+                                        pack_kernels=(True if a.pack_kernels
+                                                      else None))
         model = RawGnn(cfg=cfg.model, user_count=U, query_count=Q,
                        item_count=I, vocab_size=V,
                        table_row_multiple=model_axis)

@@ -24,6 +24,7 @@ Zero-degree vertices get degree 1e-8 (Helpers/Graph.py:68,120,175).
 
 from __future__ import annotations
 
+import os
 from typing import Sequence, Tuple
 
 import numpy as np
@@ -82,6 +83,9 @@ class Graph2D:
     # SpMM expansion x[:, col] runs windowed-expand + Clos instead of an
     # XLA row gather. When set, pk_val/pk_ids2d are sized rows*cols.
     pk_role: object = None
+    # Routed GAT attention pack (ops/gatconv.GatPack) over the dst-sorted
+    # entry list; None when unpacked (XLA row-major _GatCore fallback).
+    gat_pk: object = None
     # Routed word-bag backward pack (ops/bag.BagPack); see HyperGraph.
     bag: object = None
     node_count: int = struct.field(pytree_node=False, default=0)
@@ -248,6 +252,18 @@ def build_graph2d(uqif: np.ndarray, node_count: int, user_count: int,
     pad = nnz_pad - nnz
     ids_pad = np.concatenate([crow, np.full(pad, 2**31 - 1, np.int32)])
 
+    # routed GAT attention pack over the dst-sorted entries (round 5 —
+    # replaces the row-major XLA hot path, docs/GAT_PROBE.json). Same
+    # fallback regime as pk_role; skippable for probes via IHGNN_GAT_PACK=0
+    gat_pk = None
+    if pk_role is not None and os.environ.get("IHGNN_GAT_PACK", "1") == "1":
+        try:
+            from ihgnn_tpu.ops.gatconv import build_gat_pack
+            gat_pk = build_gat_pack(crow[dst_order], ccol[dst_order],
+                                    node_count, live=val_sum[dst_order])
+        except ValueError:
+            gat_pk = None
+
     return Graph2D(
         row=crow, col=ccol, val=val_sum,
         dv=dv.reshape(-1, 1).astype(np.float32),
@@ -257,6 +273,7 @@ def build_graph2d(uqif: np.ndarray, node_count: int, user_count: int,
         pk_ids2d=ids_pad.reshape(-1, 128),
         pk_tile_ptr=tile_ptr,
         pk_role=pk_role,
+        gat_pk=gat_pk,
         node_count=int(node_count),
         nnz=int(nnz),
         pk_rows=int(rows_g), pk_cols=int(cols_g),

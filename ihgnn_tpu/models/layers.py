@@ -101,6 +101,30 @@ class _GatCore(nn.Module):
                            indices_are_sorted=True)
 
 
+class _GatHeadParams(nn.Module):
+    """Bare score-head params — same names/shapes/inits as `_GatCore`'s
+    nn.Dense, so the routed and row-major paths share checkpoints."""
+
+    score_in: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", xavier_uniform(LEAKY_RELU_GAIN),
+                            (self.score_in, 1))
+        bias = self.param("bias", torch_linear_bias(self.score_in), (1,))
+        return kernel, bias
+
+
+class _GatHead(nn.Module):
+    """Nesting shim: mirrors _GatCore("gat")/Dense("feature_aggregate")."""
+
+    score_in: int
+
+    @nn.compact
+    def __call__(self):
+        return _GatHeadParams(self.score_in, name="feature_aggregate")()
+
+
 class GATLayer(nn.Module):
     in_dim: int
     out_dim: int
@@ -108,6 +132,20 @@ class GATLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x_t: jnp.ndarray, graph: Graph2D) -> jnp.ndarray:
+        gat_pk = getattr(graph, "gat_pk", None)
+        if use_pallas(graph) and gat_pk is not None:
+            # routed feature-major path (round 5, ops/gatconv.py): the
+            # row-major x[src] gathers + XLA segment softmax measured
+            # 3,221 ms fwd at 12M nnz (docs/GAT_PROBE.json); the routed
+            # pipeline runs the same math on the Clos/windowed kernels
+            from ihgnn_tpu.ops.gatconv import gat_conv_t
+            xt = TorchDenseT(self.out_dim, self.in_dim,
+                             name="feature_transform")(x_t)
+            score_in = (2 * self.out_dim if self.head == V.CONCAT
+                        else self.out_dim)
+            khead, bhead = _GatHead(score_in, name="gat")()
+            head = "concat" if self.head == V.CONCAT else "product"
+            return gat_conv_t(xt, khead, bhead, gat_pk, head)
         x = TorchDense(self.out_dim, self.in_dim,
                        name="feature_transform")(x_t.T)
         # re-order the coalesced COO entries by destination so the softmax

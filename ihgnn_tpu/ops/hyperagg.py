@@ -325,6 +325,37 @@ def _is_chunked(kp) -> bool:
     return isinstance(kp, ChunkedHyperPack)
 
 
+def _segsum_chunked(vu_full, rqs, ris, kp):
+    """All chunks' [u | q | i] regions → ONE [d, N] f32 sum.
+
+    Kernel path: csr_segment_sum3_multi — one node-tile sweep for every
+    chunk instead of K sweeps + K-1 [d, N] partial add passes (the
+    round-4 chunked form cost ~5.5 ms of per-tile overhead and a 450 MB
+    partial write per EXTRA chunk per call at the 10M-edge stress shape,
+    docs/STRESS_ACCOUNTING_r05.json). ``vu_full`` is the full
+    concatenated edge/cotangent stream; u regions are read at static
+    chunk offsets."""
+    from ihgnn_tpu.ops.pallas.segsum import csr_segment_sum3_multi
+    if not _kernels_active():
+        total, off = None, 0
+        for pk, rq, ri in zip(kp.packs, rqs, ris):
+            part = _segsum_regions(vu_full[:, off:off + pk.e_pad], rq, ri,
+                                   pk)
+            total = part if total is None else total + part
+            off += pk.e_pad
+        return total
+    offs, off = [], 0
+    for pk in kp.packs:
+        offs.append(off)
+        off += pk.e_pad
+    tptr = jnp.stack([pk.tile_ptr for pk in kp.packs])
+    return csr_segment_sum3_multi(
+        vu_full, tuple(rqs), tuple(ris),
+        tuple(pk.ids2d for pk in kp.packs), tptr, kp.n,
+        blocks=tuple(getattr(pk, "seg_block", 1024) for pk in kp.packs),
+        u_offs=tuple(offs), out_transposed=True)
+
+
 def _chunk_slices(edge_t, kp):
     """Split a [d, e_pad_total] stream into the per-chunk [d, e_pad_k]
     slices (chunks are contiguous in the concat)."""
@@ -352,11 +383,13 @@ def _gather_impl(x_pad, kp):
 
 def _scatter_impl(edge_t, kp):
     if _is_chunked(kp):
-        total = None
+        rqs, ris = [], []
         for pk, sl in zip(kp.packs, _chunk_slices(edge_t, kp)):
-            part = _scatter_impl(sl, pk)
-            total = part if total is None else total + part
-        return total
+            rqs.append(_to_rank_blocks(sl, pk.q, pk.rows, pk.cols,
+                                       pk.sigma))
+            ris.append(_to_rank_blocks(sl, pk.i, pk.rows, pk.cols,
+                                       pk.sigma))
+        return _segsum_chunked(edge_t, rqs, ris, kp)
     region_q = _to_rank_blocks(edge_t, kp.q, kp.rows, kp.cols, kp.sigma)
     region_i = _to_rank_blocks(edge_t, kp.i, kp.rows, kp.cols, kp.sigma)
     return _segsum_regions(edge_t, region_q, region_i, kp)
@@ -379,14 +412,14 @@ def _gather_fwd(x_pad, kp):
 def _gather_bwd(kp, cot):
     cu, cq, ci = cot
     if _is_chunked(kp):
-        grad = None
-        for pk, su, sq, si in zip(kp.packs, _chunk_slices(cu, kp),
-                                  _chunk_slices(cq, kp),
-                                  _chunk_slices(ci, kp)):
-            cot_q = _to_rank_blocks(sq, pk.q, pk.rows, pk.cols, pk.sigma)
-            cot_i = _to_rank_blocks(si, pk.i, pk.rows, pk.cols, pk.sigma)
-            part = _segsum_regions(su, cot_q, cot_i, pk)
-            grad = part if grad is None else grad + part
+        rqs, ris = [], []
+        for pk, sq, si in zip(kp.packs, _chunk_slices(cq, kp),
+                              _chunk_slices(ci, kp)):
+            rqs.append(_to_rank_blocks(sq, pk.q, pk.rows, pk.cols,
+                                       pk.sigma))
+            ris.append(_to_rank_blocks(si, pk.i, pk.rows, pk.cols,
+                                       pk.sigma))
+        grad = _segsum_chunked(cu, rqs, ris, kp)
     else:
         cot_q = _to_rank_blocks(cq, kp.q, kp.rows, kp.cols, kp.sigma)
         cot_i = _to_rank_blocks(ci, kp.i, kp.rows, kp.cols, kp.sigma)
@@ -548,14 +581,13 @@ def _gather_pre_fwd(x_pad, kp):
 def _gather_pre_bwd(kp, cot):
     cu, cq, ci = cot                 # ci arrives t1-ordered
     if _is_chunked(kp):
-        grad = None
-        for pk, su, sq, si in zip(kp.packs, _chunk_slices(cu, kp),
-                                  _chunk_slices(cq, kp),
-                                  _chunk_slices(ci, kp)):
-            cot_q = _sig_inverse(sq, pk.q, pk.rows, pk.cols)
-            cot_i = _sig_inverse(si, pk.i, pk.rows, pk.cols, from_pre=True)
-            part = _segsum_regions(su, cot_q, cot_i, pk)
-            grad = part if grad is None else grad + part
+        rqs, ris = [], []
+        for pk, sq, si in zip(kp.packs, _chunk_slices(cq, kp),
+                              _chunk_slices(ci, kp)):
+            rqs.append(_sig_inverse(sq, pk.q, pk.rows, pk.cols))
+            ris.append(_sig_inverse(si, pk.i, pk.rows, pk.cols,
+                                    from_pre=True))
+        grad = _segsum_chunked(cu, rqs, ris, kp)
     else:
         cot_q = _sig_inverse(cq, kp.q, kp.rows, kp.cols)
         cot_i = _sig_inverse(ci, kp.i, kp.rows, kp.cols, from_pre=True)
@@ -569,12 +601,13 @@ _gather_pre_pallas.defvjp(_gather_pre_fwd, _gather_pre_bwd)
 
 def _scatter2_impl(edge_t, pre_i, kp):
     if _is_chunked(kp):
-        total = None
+        rqs, ris = [], []
         for pk, se, sp in zip(kp.packs, _chunk_slices(edge_t, kp),
                               _chunk_slices(pre_i, kp)):
-            part = _scatter2_impl(se, sp, pk)
-            total = part if total is None else total + part
-        return total
+            rqs.append(_sig_inverse(se, pk.q, pk.rows, pk.cols))
+            ris.append(_sig_inverse(sp, pk.i, pk.rows, pk.cols,
+                                    from_pre=True))
+        return _segsum_chunked(edge_t, rqs, ris, kp)
     region_q = _sig_inverse(edge_t, kp.q, kp.rows, kp.cols)
     region_i = _sig_inverse(pre_i, kp.i, kp.rows, kp.cols, from_pre=True)
     return _segsum_regions(edge_t, region_q, region_i, kp)
@@ -667,15 +700,24 @@ def _node_pad(n: int, n_shards: int) -> int:
 
 
 def _bf16_rs_on() -> bool:
-    """bf16 reduce-scatter partials (round 5, docs/PARALLELISM.md): the
-    node-partial combining collectives dominate multi-chip comm (class 1
-    in SCALING_r04.json). When the edge streams are already bf16, the
-    per-shard f32 partial sums carry at most P extra addends of
-    bf16-rounded values — rounding THE PARTIALS to bf16 for the wire
-    halves the reduce-scatter bytes (the all-gather side already moves
-    bf16 streams) at one extra bf16 rounding per cross-shard reduction.
-    At the 100M-edge plan shape this is the difference between 75% and
-    ~80% unoverlapped scaling efficiency. Off via IHGNN_BF16_RS=0."""
+    """bf16 node-partial combining (round 5, docs/PARALLELISM.md): the
+    node-partial collectives dominate multi-chip comm (class 1 in the
+    SCALING artifacts). When the edge streams are already bf16, rounding
+    THE PARTIALS to bf16 for the wire costs one extra bf16 rounding per
+    cross-shard reduction — the same precision class as the stream
+    rounding itself.
+
+    Form (measured from real v5e-8 AOT-compiled HLO, SCALING_r05.json):
+    this toolchain lowers a bf16 ``psum_scatter`` as a full all-reduce +
+    slice, so RS+AG costs 2x AR on the wire. The winning formulation is
+    therefore ONE bf16 ``psum`` with a REPLICATED result: the downstream
+    all-gather disappears entirely, and per layer direction the
+    node-combining wire drops from f32-RS + bf16-AG (= 3 bf16-units x
+    (P-1)/P) to a bf16 AR (= 2 units) — the ~33% class-1 cut the
+    100M-edge plan needs to clear 80% efficiency. Per-device memory for
+    the replicated bf16 [d, N] result at the 100M stress shape is
+    2.24 GB (budgeted in docs/PARALLELISM.md). Off via IHGNN_BF16_RS=0
+    (f32 reduce-scatter + bf16 all-gather, node-sharded results)."""
     return os.environ.get("IHGNN_BF16_RS", "1") == "1"
 
 
@@ -691,15 +733,6 @@ def _rs_node_partial(partial, n_pad: int, data):
     return out
 
 
-def _rs_node_partial_f32(partial, n_pad: int, data, stream_bf16: bool):
-    """f32-result reduce-scatter with the optional bf16 wire format."""
-    if stream_bf16 and _bf16_rs_on():
-        d, n = partial.shape
-        padded = jnp.pad(partial.astype(jnp.bfloat16),
-                         ((0, 0), (0, n_pad - n)))
-        return jax.lax.psum_scatter(padded, data, scatter_dimension=1,
-                                    tiled=True).astype(jnp.float32)
-    return _rs_node_partial(partial, n_pad, data)
 
 
 def _sh_gather_impl(x_t, skp):
@@ -724,13 +757,28 @@ def _sh_scatter_impl(edge_t, skp):
     P, data, mesh, plat = _sharded_specs(skp)
     n_pad = _node_pad(skp.kp.n, skp.n_shards)
 
-    stream_bf16 = edge_t.dtype == jnp.bfloat16
+    bf16_wire = edge_t.dtype == jnp.bfloat16 and _bf16_rs_on()
+
+    if bf16_wire:
+        # single bf16 psum, replicated result (see _bf16_rs_on): no
+        # downstream all-gather; f32 restored outside the collective
+        def body(e_loc, kp_st):
+            kp = _kp_local(kp_st)
+            e_pad = jnp.pad(e_loc, ((0, 0), (0, kp.e_pad - kp.e)))
+            part = _scatter_impl(e_pad, kp).astype(jnp.bfloat16)
+            return jax.lax.psum(part, data)
+
+        with _impl_platform(plat):
+            out = jax.shard_map(body, mesh=mesh,
+                                in_specs=(P(None, data), P(data)),
+                                out_specs=P(),
+                                check_vma=False)(edge_t, skp.kp)
+        return out[:, :skp.kp.n].astype(jnp.float32)    # replicated
 
     def body(e_loc, kp_st):
         kp = _kp_local(kp_st)
         e_pad = jnp.pad(e_loc, ((0, 0), (0, kp.e_pad - kp.e)))
-        return _rs_node_partial_f32(_scatter_impl(e_pad, kp), n_pad, data,
-                                    stream_bf16)
+        return _rs_node_partial(_scatter_impl(e_pad, kp), n_pad, data)
 
     with _impl_platform(plat):
         out = jax.shard_map(body, mesh=mesh,
@@ -752,6 +800,7 @@ def _sh_gather_fwd(x_t, skp):
 def _sh_gather_bwd(skp, cot):
     P, data, mesh, plat = _sharded_specs(skp)
     n_pad = _node_pad(skp.kp.n, skp.n_shards)
+    bf16_wire = cot[0].dtype == jnp.bfloat16 and _bf16_rs_on()
 
     def body(cot_loc, kp_st):                           # 3 x [d, e_shard]
         kp = _kp_local(kp_st)
@@ -761,12 +810,15 @@ def _sh_gather_bwd(skp, cot):
         cot_i = _permute_to_t1(ci, kp.i, kp.rows, kp.cols)
         grad = _segsum_regions(cu, cot_q, cot_i, kp)    # f32 accumulation
         # gather is dtype-preserving: primal x_t dtype == cot dtype
+        if bf16_wire:
+            # one bf16 psum, replicated grad (see _bf16_rs_on)
+            return jax.lax.psum(grad.astype(cu.dtype), data)
         return _rs_node_partial(grad.astype(cu.dtype), n_pad, data)
 
     with _impl_platform(plat):
         grad = jax.shard_map(body, mesh=mesh,
                              in_specs=(((P(None, data),) * 3), P(data)),
-                             out_specs=P(None, data),
+                             out_specs=P() if bf16_wire else P(None, data),
                              check_vma=False)(cot, skp.kp)
     return grad[:, :skp.kp.n], _f0_tree(skp)
 
@@ -788,6 +840,18 @@ def _sh_scatter_bwd(res, cot):
     skp, e_token = res
     P, data, mesh, plat = _sharded_specs(skp)
     e_dtype = e_token.dtype
+    # cast the node cotangent to the stream dtype BEFORE the shard_map so
+    # any in_specs P() all-gather moves bf16, not f32 (GSPMD otherwise
+    # hoists the convert past the collective). Only the f32-RS path pins
+    # it node-sharded — under the bf16-psum formulation the cotangent is
+    # already replicated and a node-sharded pin would force a slice +
+    # re-gather round trip (observed in the v5e-8 AOT HLO).
+    if e_dtype != cot.dtype:
+        from jax.sharding import NamedSharding
+
+        spec = P() if _bf16_rs_on() else P(None, data)
+        cot = jax.lax.with_sharding_constraint(
+            cot.astype(e_dtype), NamedSharding(mesh, spec))
 
     def body(cot_n, kp_st):
         kp = _kp_local(kp_st)
@@ -853,8 +917,24 @@ def make_hyper_ops(graph: HyperGraph, bf16_stream: bool = False,
 
         def gather_roles_t(x_t):
             # src_pad padding happens inside the shard_map body (the node
-            # input may arrive node-sharded from the previous scatter)
-            return _gather_roles_sharded(_cast(x_t), skp)
+            # input may arrive node-sharded from the previous scatter).
+            # f32-RS mode: pin the bf16 cast's output to the node-sharded
+            # layout — without the constraint GSPMD is free to all-gather
+            # the f32 INPUT of the convert and cast replicated, doubling
+            # the gather-side collective bytes (observed in the compiled
+            # v5e-8 HLO, SCALING_r05). Under the bf16-psum formulation
+            # the input is already replicated and the pin would force a
+            # slice + re-gather, so it stays off there.
+            x16 = _cast(x_t)
+            if stream is not None:
+                from jax.sharding import NamedSharding
+                from jax.sharding import PartitionSpec as P
+
+                from ihgnn_tpu.parallel.mesh import DATA_AXIS
+                spec = P() if _bf16_rs_on() else P(None, DATA_AXIS)
+                x16 = jax.lax.with_sharding_constraint(
+                    x16, NamedSharding(skp.mesh, spec))
+            return _gather_roles_sharded(x16, skp)
 
         def scatter_incidence_t(edge_t):
             return _scatter_sharded(edge_t, skp)

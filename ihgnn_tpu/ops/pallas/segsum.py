@@ -523,6 +523,310 @@ def csr_segment_sum_t(values_t: jnp.ndarray, segment_ids_2d: jnp.ndarray,
     return out[:, :num_segments] if out_transposed else out[:num_segments]
 
 
+# ---------------------------------------------------------------------------
+# Multi-chunk three-region variant (round 5): ChunkedHyperPack scatters ran
+# ONE segsum PER CHUNK and added the [d, N] partials — at the 10M-edge
+# stress shape that is 5 full node-tile sweeps (27k tiles each, ~5.5 ms of
+# per-tile overhead per sweep) plus 4 extra [d, N] f32 write+read+add
+# passes (450 MB each) per scatter call. This kernel walks ALL chunks'
+# [u | q | i] region streams inside one node-tile grid: per tile, K block
+# ranges (one per chunk, each with its own ids/tile_ptr) accumulate into a
+# single VMEM accumulator, and the [d, N] output is written once.
+# The u region reads the FULL concatenated edge stream at static per-chunk
+# offsets (chunks are contiguous slices of the concat), so no per-chunk
+# u slices are materialized.
+# ---------------------------------------------------------------------------
+
+
+def _make_segsum3_multi_kernel(out_transposed: bool, blocks: tuple,
+                               u_offs: tuple, nbuf_k: int):
+    def kernel(*args):
+        _segsum3_multi_kernel(*args, out_transposed=out_transposed,
+                              blocks=blocks, u_offs=u_offs, nbuf_k=nbuf_k)
+    return kernel
+
+
+def _segsum3_multi_kernel(tptr_ref, vu_hbm, *rest, out_transposed, blocks,
+                          u_offs, nbuf_k):
+    """K-chunk [u|q|i] segment sum. ``rest`` unpacks as K vq refs, K vi
+    refs, K ids refs, out_ref, then scratch (acc, vbuf, nbuf, sems, ctr).
+    ``blocks``: per-chunk DMA block size (= pack seg_block); ``u_offs``:
+    static chunk offsets into the concatenated u stream."""
+    k_chunks = len(blocks)
+    vq = rest[:k_chunks]
+    vi = rest[k_chunks:2 * k_chunks]
+    idr = rest[2 * k_chunks:3 * k_chunks]
+    out_ref = rest[3 * k_chunks]
+    acc, vbuf, nbuf, sems, ctr = rest[3 * k_chunks + 1:]
+
+    t = pl.program_id(0)
+    node_base = t * TILE_N
+
+    @pl.when(t == 0)
+    def _():
+        for j in range(2 * k_chunks):
+            ctr[j] = 0
+
+    acc[...] = jnp.zeros_like(acc)
+
+    for k in range(k_chunks):
+        block = blocks[k]
+        nsub = block // SUB
+        total_blocks = idr[k].shape[0] // nsub
+        bpr = total_blocks // 3
+        start = tptr_ref[k, t]
+        end = tptr_ref[k, t + 1]
+        g0 = start // block
+        g1 = jnp.where(end > start, (end - 1) // block, g0 - 1)
+
+        def id_dma(g, k=k, block=block, nsub=nsub):
+            return pltpu.make_async_copy(
+                idr[k].at[pl.ds(g * nsub, nsub), :],
+                nbuf.at[k, jax.lax.rem(g, nbuf_k)],
+                sems.at[k, jax.lax.rem(g, nbuf_k), 1])
+
+        def val_dma(g, k=k, block=block, bpr=bpr):
+            slot = jax.lax.rem(g, nbuf_k)
+            local = g - (g // bpr) * bpr
+            dmas = []
+            for ridx, ref in ((0, vu_hbm), (1, vq[k]), (2, vi[k])):
+                off = (u_offs[k] if ridx == 0 else 0)
+
+                def mk(ref=ref, off=off, local=local, slot=slot,
+                       block=block):
+                    return pltpu.make_async_copy(
+                        ref.at[:, pl.ds(
+                            pl.multiple_of(off + local * block, block),
+                            block)],
+                        vbuf.at[k, slot],
+                        sems.at[k, slot, 0])
+                dmas.append((ridx, mk))
+            return dmas
+
+        def start_dmas(g, k=k, bpr=bpr):
+            for ridx, mk in val_dma(g):
+                @pl.when(g // bpr == ridx)
+                def _(mk=mk):
+                    mk().start()
+            id_dma(g).start()
+
+        def wait_dmas(g, k=k, bpr=bpr):
+            for ridx, mk in val_dma(g):
+                @pl.when(g // bpr == ridx)
+                def _(mk=mk):
+                    mk().wait()
+            id_dma(g).wait()
+
+        def body(g, _, k=k, block=block, nsub=nsub,
+                 total_blocks=total_blocks):
+            tgt = jnp.minimum(g + nbuf_k - 1, total_blocks - 1)
+
+            def fetch(gg, _):
+                start_dmas(gg)
+                return 0
+
+            fetched = ctr[2 * k]
+            jax.lax.fori_loop(jnp.maximum(fetched, g), tgt + 1, fetch, 0)
+            ctr[2 * k] = jnp.maximum(fetched, tgt + 1)
+
+            def wait1(gg, _):
+                wait_dmas(gg)
+                return 0
+
+            waited = ctr[2 * k + 1]
+            jax.lax.fori_loop(jnp.maximum(waited, g), g + 1, wait1, 0)
+            ctr[2 * k + 1] = jnp.maximum(waited, g + 1)
+
+            slot = jax.lax.rem(g, nbuf_k)
+            for j in range(nsub):
+                nodes = nbuf[k, slot][j].reshape(1, SUB)
+                local = nodes - node_base
+                onehot = (jax.lax.broadcasted_iota(
+                    jnp.int32, (TILE_N, SUB), 0) == local
+                ).astype(jnp.bfloat16)
+                v = vbuf[k, slot][:, j * SUB:(j + 1) * SUB]
+                d = v.shape[0]
+                if v.dtype == jnp.bfloat16:
+                    vs = v
+                else:
+                    vhi = v.astype(jnp.bfloat16)
+                    vlo = (v - vhi.astype(jnp.float32)).astype(jnp.bfloat16)
+                    vs = jnp.concatenate([vhi, vlo], axis=0)
+                dims = (((1,), (1,)), ((), ()))
+                if out_transposed:
+                    both = jax.lax.dot_general(
+                        vs, onehot, dimension_numbers=dims,
+                        preferred_element_type=jnp.float32)
+                    acc[...] += both if vs is v else both[:d] + both[d:]
+                else:
+                    both = jax.lax.dot_general(
+                        onehot, vs, dimension_numbers=dims,
+                        preferred_element_type=jnp.float32)
+                    acc[...] += both if vs is v else both[:, :d] + both[:, d:]
+            return 0
+
+        jax.lax.fori_loop(g0, g1 + 1, body, 0, unroll=False)
+
+        @pl.when(t == pl.num_programs(0) - 1)
+        def _(k=k):
+            def wfin(gg, _):
+                wait_dmas(gg)
+                return 0
+
+            jax.lax.fori_loop(ctr[2 * k + 1], ctr[2 * k], wfin, 0)
+
+    out_ref[...] = acc[...]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_segments", "interpret",
+                                    "out_transposed", "blocks", "u_offs"))
+def csr_segment_sum3_multi(vu_full: jnp.ndarray, vqs, vis, ids_list,
+                           tptr_stack: jnp.ndarray, num_segments: int,
+                           blocks: tuple, u_offs: tuple,
+                           interpret: bool = False,
+                           out_transposed: bool = True) -> jnp.ndarray:
+    """K-chunk [u | q | i] segment sum into ONE [d, N] output.
+
+    vu_full: [d, sum e_pad_k] — the concatenated edge stream (u regions
+      read at static ``u_offs`` offsets).
+    vqs/vis: K-tuples of [d, e_pad_k] region streams (t1 order).
+    ids_list: K-tuple of [3*e_pad_k/128, 128] int32 region ids.
+    tptr_stack: [K, T+1] int32 — each chunk's pack tile_ptr.
+    blocks: per-chunk DMA block size (pack seg_block)."""
+    k_chunks = len(vqs)
+    d = vu_full.shape[0]
+    n_tiles = tptr_stack.shape[1] - 1
+    n_pad = n_tiles * TILE_N
+    nbuf_k = 2 if k_chunks > 2 else NBUF
+    max_block = max(blocks)
+
+    if out_transposed:
+        out_spec = pl.BlockSpec((d, TILE_N), lambda t, ptr: (0, t),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((d, n_pad), jnp.float32)
+        acc_shape = (d, TILE_N)
+    else:
+        out_spec = pl.BlockSpec((TILE_N, d), lambda t, ptr: (t, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((n_pad, d), jnp.float32)
+        acc_shape = (TILE_N, d)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]
+        * (1 + 3 * k_chunks),
+        out_specs=out_spec,
+        scratch_shapes=[
+            pltpu.VMEM(acc_shape, jnp.float32),
+            pltpu.VMEM((k_chunks, nbuf_k, d, max_block), vu_full.dtype),
+            pltpu.VMEM((k_chunks, nbuf_k, max_block // SUB, 128),
+                       jnp.int32),
+            pltpu.SemaphoreType.DMA((k_chunks, nbuf_k, 2)),
+            pltpu.SMEM((2 * k_chunks,), jnp.int32),
+        ],
+    )
+    out = pl.pallas_call(
+        _make_segsum3_multi_kernel(out_transposed, tuple(blocks),
+                                   tuple(u_offs), nbuf_k),
+        out_shape=out_shape,
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(tptr_stack, vu_full, *vqs, *vis, *ids_list)
+    return (out[:, :num_segments] if out_transposed
+            else out[:num_segments])
+
+
+_NEG = -3.0e38
+
+
+def _segmax_kernel(tile_ptr_ref, scores_hbm, ids_hbm, out_ref, acc, vbuf,
+                   nbuf, sems, *, block):
+    """Per-node-tile segment MAX of a scalar score stream (the GAT
+    destination-softmax stabilizer, Models/GnnLayers.py:112 edge_softmax).
+
+    Unlike the sum kernel there is no MXU trick for max; per 128-entry
+    sub-chunk the ids/scores tiles are transposed once ([nsub, 128] →
+    [128, nsub]) so entries sit on SUBLANES, then a [SUB, TILE_N] masked
+    compare + sublane max-reduce lands the per-node maxima directly in
+    the [1, TILE_N] lane layout. ~1 vector op per entry — far from the
+    sum kernel's MXU rate but cheap at GAT scale. Nodes with no entries
+    (or only sentinel ids) read -3e38."""
+    nsub = block // SUB
+    t = pl.program_id(0)
+    start = tile_ptr_ref[t]
+    end = tile_ptr_ref[t + 1]
+    node_base = t * TILE_N
+
+    g0 = start // block
+    g1 = jnp.where(end > start, (end - 1) // block, g0 - 1)
+
+    acc[...] = jnp.full_like(acc, _NEG)
+
+    def body(g, _):
+        svdma = pltpu.make_async_copy(
+            scores_hbm.at[pl.ds(g * nsub, nsub), :], vbuf, sems.at[0])
+        iddma = pltpu.make_async_copy(
+            ids_hbm.at[pl.ds(g * nsub, nsub), :], nbuf, sems.at[1])
+        svdma.start()
+        iddma.start()
+        svdma.wait()
+        iddma.wait()
+        ids_t = jnp.swapaxes(nbuf[...], 0, 1)      # [128, nsub]
+        scr_t = jnp.swapaxes(vbuf[...], 0, 1)
+        for j in range(nsub):
+            local = ids_t[:, j:j + 1] - node_base            # [SUB, 1]
+            oh = (jax.lax.broadcasted_iota(jnp.int32, (SUB, TILE_N), 1)
+                  == local)
+            masked = jnp.where(oh, jnp.broadcast_to(scr_t[:, j:j + 1],
+                                                    (SUB, TILE_N)), _NEG)
+            acc[...] = jnp.maximum(acc[...],
+                                   jnp.max(masked, axis=0, keepdims=True))
+        return 0
+
+    jax.lax.fori_loop(g0, g1 + 1, body, 0, unroll=False)
+    out_ref[...] = acc[...]
+
+
+@functools.partial(jax.jit, static_argnames=("num_segments", "interpret",
+                                             "block"))
+def csr_segment_max_t(scores_2d: jnp.ndarray, segment_ids_2d: jnp.ndarray,
+                      tile_ptr: jnp.ndarray, num_segments: int,
+                      interpret: bool = False,
+                      block: int = BLOCK) -> jnp.ndarray:
+    """Sorted segment-max over a scalar stream.
+
+    scores_2d: [K_pad/128, 128] f32 (the flat [K_pad] stream pre-reshaped
+    like the ids — a [1, K_pad] row cannot legally re-tile to sublanes
+    inside the kernel). Returns [1, n_pad] f32 (n_pad = tiles * TILE_N);
+    empty segments hold -3e38."""
+    assert scores_2d.shape == segment_ids_2d.shape, (
+        scores_2d.shape, segment_ids_2d.shape)
+    n_tiles = tile_ptr.shape[0] - 1
+    nsub = block // SUB
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 2,
+        out_specs=pl.BlockSpec((1, TILE_N), lambda t, ptr: (t, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((1, TILE_N), jnp.float32),
+            pltpu.VMEM((nsub, 128), jnp.float32),
+            pltpu.VMEM((nsub, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_segmax_kernel, block=block),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, TILE_N), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(tile_ptr, scores_2d, segment_ids_2d)
+    return out.reshape(1, n_tiles * TILE_N)
+
+
 def csr_segment_sum(values: jnp.ndarray, segment_ids_2d: jnp.ndarray,
                     tile_ptr: jnp.ndarray, num_segments: int,
                     interpret: bool = False) -> jnp.ndarray:

@@ -145,9 +145,12 @@ def graph_sharding(graph, mesh: Mesh):
               for f in ("pk_col", "pk_val", "pk_ids2d", "pk_tile_ptr")}
         pk_role = (None if graph.pk_role is None
                    else jax.tree.map(lambda _: rep, graph.pk_role))
+        gat_pk = (None if graph.gat_pk is None
+                  else jax.tree.map(lambda _: rep, graph.gat_pk))
         bag = _bag_sharding(graph.bag, mesh, rep)
         return graph.replace(row=edge, col=edge, val=edge, dv=rep,
-                             dst_order=edge, pk_role=pk_role, bag=bag, **pk)
+                             dst_order=edge, pk_role=pk_role, gat_pk=gat_pk,
+                             bag=bag, **pk)
     if isinstance(graph, LogHyperGraph):
         return graph.replace(inc_node=edge, inc_edge=edge, edge_nodes=edge,
                              edge_ids=edge, dv=rep, de=rep)

@@ -61,9 +61,35 @@ def main():
         _ = float(s)
         return (time.time() - t0) / iters * 1e3
 
+    # routed feature-major path (round 5, ops/gatconv.py) — the default
+    # dispatch when the graph carries a gat pack
     res = {"nnz": int(graph.nnz), "d": D,
-           "gat_fwd_ms": round(timed(fwd), 2),
-           "gat_fwdbwd_ms": round(timed(both), 2)}
+           "routed": graph.gat_pk is not None}
+    key = "gat_routed" if graph.gat_pk is not None else "gat_rowmajor"
+    res[key + "_fwd_ms"] = round(timed(fwd), 2)
+    print(res, flush=True)
+    res[key + "_fwdbwd_ms"] = round(timed(both), 2)
+    print(res, flush=True)
+
+    if graph.gat_pk is not None:
+        # row-major reference path on the same graph (the round-4 number)
+        graph_rm = graph.replace(gat_pk=None)
+        params_rm = jax.jit(layer.init)(jax.random.key(0), x, graph_rm)
+
+        @jax.jit
+        def fwd_rm(params, x, g, scale):
+            out = layer.apply(params, x * scale, g)
+            return jnp.sum(out[:, :8])
+
+        s = fwd_rm(params_rm, x, graph_rm, jnp.float32(1.0))
+        _ = float(s)
+        import time as _t
+        t0 = _t.time()
+        for _ in range(2):
+            s = fwd_rm(params_rm, x, graph_rm, 1.0 + 0.0 * s)
+        _ = float(s)
+        res["gat_rowmajor_fwd_ms"] = round((_t.time() - t0) / 2 * 1e3, 2)
+
     print(json.dumps(res))
     with open("/root/repo/docs/GAT_PROBE.json", "w") as fh:
         json.dump(res, fh, indent=1)

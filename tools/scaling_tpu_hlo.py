@@ -1,0 +1,154 @@
+"""Multi-chip comm accounting from REAL v5e-8 compiled HLO (round 5).
+
+Round 4's scaling artifact compiled the sharded step for a virtual CPU
+mesh — but the CPU backend emulates bf16 by upcasting, so collective wire
+dtypes (and therefore the bf16 reduce-scatter cut, hyperagg._bf16_rs_on)
+are invisible there, and the examples/s rows measured host-core
+contention (VERDICT r4 weak #5). This tool instead AOT-compiles the FULL
+sharded training step for an actual TPU v5e 2x4 topology
+(jax.experimental.topologies — no hardware needed) and reads the
+collectives out of the real optimized TPU HLO: real GSPMD partitioning
+decisions, real wire dtypes, per-source-array attribution
+(utils/hlo_stats).
+
+Emits SCALING_r05.json:
+  per mesh shape (data=4 x model=2, data=8 x model=1):
+    bf16_rs on/off: collective kinds, bytes, per-array table
+  The byte delta between the two is the measured effect of the bf16
+  reduce-scatter partials (docs/PARALLELISM.md).
+
+Runs entirely on CPU (tracing + AOT compile); safe alongside TPU jobs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+
+def abstractify(tree, sharding_tree):
+    def one(x, s):
+        if x is None:
+            return None
+        a = np.asarray(x) if not hasattr(x, "dtype") else x
+        return jax.ShapeDtypeStruct(np.shape(a), a.dtype, sharding=s)
+    return jax.tree.map(one, tree, sharding_tree,
+                        is_leaf=lambda x: x is None)
+
+
+def lower_for_topology(mesh, data_axis, model_axis, bf16_stream):
+    from bench import build_bench_graph
+    from ihgnn_tpu.config import Config, MeshConfig, ModelConfig, TrainConfig
+    from ihgnn_tpu.data.dataset import Batch
+    from ihgnn_tpu.models.rawgnn import RawGnn
+    from ihgnn_tpu.parallel.sharding import (batch_sharding, graph_sharding,
+                                             pad_hypergraph_for_mesh,
+                                             state_sharding)
+    from ihgnn_tpu.train.train import (init_state, make_optimizer,
+                                       make_train_step)
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    U, Q, I, V = 20_000, 10_000, 40_000, 10_000
+    E, D, B, K = 100_000, 32, 512, 10
+    cfg = Config(model=ModelConfig(embedding_size=D, gnn_layer_count=2,
+                                   bf16_stream=bf16_stream),
+                 train=TrainConfig(batch_size=B,
+                                   random_negative_sample_size=K),
+                 mesh=MeshConfig(data=data_axis, model=model_axis))
+    rng = np.random.default_rng(1)
+    qw = rng.integers(1, V + 1, size=(Q, 4)).astype(np.int32)
+    qc = np.full(Q, 4, np.int32)
+    graph, uqif = build_bench_graph(U, Q, I, E)
+    graph_cpu = graph                      # init runs the XLA path on CPU
+    graph_skp = pad_hypergraph_for_mesh(graph, data_axis, mesh=mesh,
+                                        pack_kernels=True)
+    model = RawGnn(cfg=cfg.model, user_count=U, query_count=Q, item_count=I,
+                   vocab_size=V, table_row_multiple=model_axis)
+    tx = make_optimizer(cfg)
+    state = init_state(model, jax.random.key(0), graph_cpu, qw, qc, cfg, tx)
+
+    rows = -(-B * (1 + K) // data_axis) * data_axis
+    r = np.random.default_rng(0)
+    idx = r.integers(0, E, B)
+    batch = Batch(users=np.resize(uqif[idx, 0].astype(np.int32), rows),
+                  queries=np.resize(uqif[idx, 1].astype(np.int32), rows),
+                  items=np.resize(uqif[idx, 2].astype(np.int32), rows),
+                  flags=np.resize(np.ones(B, np.float32), rows),
+                  weight=np.ones(rows, np.float32))
+
+    step = make_train_step(model, graph_skp, qw, qc, tx)
+    rep = NamedSharding(mesh, P())
+    args = (
+        abstractify(state, state_sharding(state, mesh)),
+        abstractify(step.bound_args[0], graph_sharding(graph_skp, mesh)),
+        abstractify(qw, rep), abstractify(qc, rep),
+        abstractify(batch, batch_sharding(batch, mesh)),
+    )
+    return step.inner.lower(*args)
+
+
+def account(hlo: str):
+    from ihgnn_tpu.utils.hlo_stats import collective_stats, collective_table
+    stats = collective_stats(hlo)
+    by_array = {}
+    for row in collective_table(hlo):
+        key = f"{row['kind']}:{row['attribution']}"
+        g = by_array.setdefault(key, {"count": 0, "bytes": 0, "shapes": []})
+        g["count"] += 1
+        g["bytes"] += row["bytes"]
+        if row["shape"] not in g["shapes"] and len(g["shapes"]) < 4:
+            g["shapes"].append(row["shape"])
+    total = sum(v["bytes"] for v in stats.values())
+    return {"total_bytes": total, "kinds": stats,
+            "by_array": dict(sorted(by_array.items(),
+                                    key=lambda kv: -kv[1]["bytes"]))}
+
+
+def main():
+    from jax.experimental import topologies
+
+    topo = topologies.get_topology_desc(platform="tpu",
+                                        topology_name="v5e:2x4")
+    out = {"harness": "tools/scaling_tpu_hlo.py — AOT compile of the full "
+                      "sharded train step for a TPU v5e 2x4 topology "
+                      "(real GSPMD partitioning + wire dtypes; no "
+                      "hardware needed). E=100k U=20k Q=10k I=40k d=32 "
+                      "B=512 bf16_stream, 2 layers.",
+           "meshes": {}}
+    for data_axis, model_axis in ((4, 2), (8, 1)):
+        mesh = topologies.make_mesh(topo, (data_axis, model_axis),
+                                    ("data", "model"))
+        entry = {}
+        for tag, flag in (("bf16_rs", "1"), ("f32_rs", "0")):
+            os.environ["IHGNN_BF16_RS"] = flag
+            print(f"# lowering data={data_axis} model={model_axis} "
+                  f"{tag}...", flush=True)
+            lowered = lower_for_topology(mesh, data_axis, model_axis,
+                                         bf16_stream=True)
+            print("# compiling...", flush=True)
+            hlo = lowered.compile().as_text()
+            entry[tag] = account(hlo)
+            print(f"#   total collective bytes "
+                  f"{entry[tag]['total_bytes']/1e6:.1f} MB", flush=True)
+        entry["rs_cut_bytes"] = (entry["f32_rs"]["total_bytes"]
+                                 - entry["bf16_rs"]["total_bytes"])
+        out["meshes"][f"data{data_axis}_model{model_axis}"] = entry
+    os.environ.pop("IHGNN_BF16_RS", None)
+    with open("/root/repo/SCALING_r05.json", "w") as fh:
+        json.dump(out, fh, indent=1)
+    print("# wrote SCALING_r05.json")
+
+
+if __name__ == "__main__":
+    main()

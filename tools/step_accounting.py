@@ -160,43 +160,61 @@ def main():
         _floor_ms(4 + 3.35 + 10, extra_bytes=3 * E * 4))
 
     # --- isolated sub-kernels of the scatter path (round 4: locate the
-    # next cut — segsum vs permute-chain split)
-    from ihgnn_tpu.ops.hyperagg import _segsum_regions, _sig_inverse
+    # next cut — segsum vs permute-chain split). Chunked packs (stress
+    # shapes) measure the FIRST chunk's kernels; the chunk rows/cols are
+    # recorded so the per-chunk numbers can be scaled against the
+    # composite rows above.
+    from ihgnn_tpu.ops.hyperagg import (_is_chunked, _segsum_regions,
+                                        _sig_inverse)
     from ihgnn_tpu.ops.pallas.gather import windowed_gather
 
+    chunked = _is_chunked(kp)
+    kp0 = kp.packs[0] if chunked else kp
+    e0 = kp0.e_pad
+    ef16c = ef16[:, :e0]
+    sub_scale = e0 / e_pad
+
     @jax.jit
-    def seg3(ef, kp, scale):
-        out = _segsum_regions((ef * scale).astype(ef.dtype), ef, ef, kp)
+    def seg3(ef, kp0, scale):
+        out = _segsum_regions((ef * scale).astype(ef.dtype), ef, ef, kp0)
         return jnp.sum(out[:, :8])
 
-    rec("segsum3", timed(seg3, ef16, kp),
-        _floor_ms(3, extra_bytes=3 * E * 4 + N * D * 4))
+    rec("segsum3" + ("_chunk0" if chunked else ""),
+        timed(seg3, ef16c, kp0),
+        _floor_ms(3 * sub_scale, extra_bytes=3 * E * 4 * sub_scale
+                  + N * D * 4))
+
+    sub_sfx = "_chunk0" if chunked else ""
 
     @jax.jit
-    def sig_inv_q(ef, kp, scale):
-        out = _sig_inverse((ef * scale).astype(ef.dtype), kp.q, kp.rows,
-                           kp.cols)
+    def sig_inv_q(ef, kp0, scale):
+        out = _sig_inverse((ef * scale).astype(ef.dtype), kp0.q, kp0.rows,
+                           kp0.cols)
         return jnp.sum(out[:, :8].astype(jnp.float32))
 
-    rec("sig_inverse_q", timed(sig_inv_q, ef16, kp), _floor_ms(2))
+    rec("sig_inverse_q" + sub_sfx, timed(sig_inv_q, ef16c, kp0),
+        _floor_ms(2 * sub_scale))
 
     @jax.jit
-    def sig_inv_i(ef, kp, scale):
-        out = _sig_inverse((ef * scale).astype(ef.dtype), kp.i, kp.rows,
-                           kp.cols, from_pre=True)
+    def sig_inv_i(ef, kp0, scale):
+        out = _sig_inverse((ef * scale).astype(ef.dtype), kp0.i, kp0.rows,
+                           kp0.cols, from_pre=True)
         return jnp.sum(out[:, :8].astype(jnp.float32))
 
-    rec("sig_inverse_i_pre", timed(sig_inv_i, ef16, kp), _floor_ms(2))
+    rec("sig_inverse_i_pre" + sub_sfx, timed(sig_inv_i, ef16c, kp0),
+        _floor_ms(2 * sub_scale))
 
     @jax.jit
-    def exp_u(x, kp, scale):
+    def exp_u(x, kp0, scale):
         out = windowed_gather((x * scale).astype(jnp.bfloat16),
-                              kp.u_expand.idx, kp.u_expand.win,
-                              kp.u_expand.w)
+                              kp0.u_expand.idx, kp0.u_expand.win,
+                              kp0.u_expand.w)
         return jnp.sum(out[:, :8].astype(jnp.float32))
 
-    xp = jnp.asarray(rng.standard_normal((D, kp.src_pad)).astype(np.float32))
-    rec("u_expand", timed(exp_u, xp, kp), _floor_ms(2))
+    xp = jnp.asarray(rng.standard_normal((D, kp0.src_pad))
+                     .astype(np.float32))
+    rec("u_expand" + sub_sfx, timed(exp_u, xp, kp0),
+        _floor_ms(2 * sub_scale))
 
     # --- fused interaction fwd+bwd, ABSORB form (production), order 3 and
     # order 1 (bf16): fwd: r 3E + w 2E (o1, o2) = 5; bwd: r 3E (saved
