@@ -201,7 +201,15 @@ class IHGNNLayer(nn.Module):
     bf16_stream: bool = False    # half-width [d, E] streams (hyperagg.py)
 
     @nn.compact
-    def __call__(self, x_t: jnp.ndarray, graph: HyperGraph) -> jnp.ndarray:
+    def __call__(self, x_t: jnp.ndarray, graph: HyperGraph,
+                 out_nodes=None) -> jnp.ndarray:
+        """``out_nodes`` ([K] int32, optional): edge-sharded graphs only —
+        return the node update restricted to these node columns
+        ([d, K] instead of [d, N]) via the batch-restricted psum
+        (hyperagg.scatter_incidence_rows_t). Used by RawGnn for the LAST
+        layer, whose output is only read at the batch's node rows — the
+        full [d, N] cross-shard combine is then skipped entirely
+        (docs/PARALLELISM.md "tail psum")."""
         x_t = TorchDenseT(self.out_dim, self.in_dim,
                           name="feature_transform")(x_t)
         # i-role final-stage absorption into the fused interaction
@@ -230,6 +238,13 @@ class IHGNNLayer(nn.Module):
             return scatter(edge_t) / graph.dv.reshape(1, -1)
         if graph.edge_mask is not None:
             edge_t = edge_t * graph.edge_mask.reshape(1, -1)
+
+        if out_nodes is not None and skp is not None \
+                and not self.phase2_attention:
+            from ihgnn_tpu.ops.hyperagg import scatter_incidence_rows_t
+            out = scatter_incidence_rows_t(graph, edge_t, out_nodes)
+            dv_sel = graph.dv.reshape(-1)[out_nodes]
+            return out / dv_sel.reshape(1, -1)
 
         if self.phase2_attention:
             # GAT over the bipartite graph whose edges run from hyperedge

@@ -126,10 +126,56 @@ class RawGnn(nn.Module):
         items_t = features_t[:, self.item_start:]
         return self.prediction.score_all_t(uf_t, qf_t, items_t)
 
+    def _tail_restricted_ok(self, graph, items) -> bool:
+        """Edge-sharded training-score path where the LAST layer's output
+        is only read at batch node rows — its full [d, N] cross-shard
+        combine can then shrink to a batch-column psum
+        (docs/PARALLELISM.md "tail psum"; IHGNNLayer ``out_nodes``)."""
+        from ihgnn_tpu.config import V
+        return (items is not None
+                and getattr(graph, "skp", None) is not None
+                and self.cfg.gnn == V.IHGNN
+                and not self.cfg.phase2_attention
+                and len(self.gnns) >= 1)
+
+    def _score_tail_restricted(self, graph, query_words, query_word_counts,
+                               users, queries, items):
+        nodes = jnp.concatenate([users, queries + self.query_start,
+                                 items + self.item_start])
+        from ihgnn_tpu.ops.bag import ShardedBagPack
+        bag = getattr(graph, "bag", None)
+        if not isinstance(bag, ShardedBagPack):
+            bag = None
+        x_t = self.embeddings.all_features_t(
+            query_words, query_word_counts, bag=bag)
+        rows = [x_t[:, nodes]]
+        last = len(self.gnns) - 1
+        for k, gnn in enumerate(self.gnns):
+            if k == last:
+                rows.append(nn.checkpoint(
+                    lambda mdl, h, g, nds: mdl(h, g, out_nodes=nds))(
+                        gnn, x_t, graph, nodes)
+                    if self.cfg.remat else gnn(x_t, graph, out_nodes=nodes))
+            else:
+                x_t = (nn.checkpoint(lambda mdl, h, g: mdl(h, g))(
+                    gnn, x_t, graph) if self.cfg.remat
+                    else gnn(x_t, graph))
+                rows.append(x_t[:, nodes])
+        feats_rows = jnp.concatenate(rows, axis=0)      # [(1+L)d, 3R]
+        r = users.shape[0]
+        uf = feats_rows[:, :r].T
+        qf = feats_rows[:, r:2 * r].T
+        itf = feats_rows[:, 2 * r:].T
+        return self.prediction.score_rows(uf, qf, itf, items)
+
     def __call__(self, graph: AnyGraph, query_words: jnp.ndarray,
                  query_word_counts: jnp.ndarray, users: jnp.ndarray,
                  queries: jnp.ndarray, items: Optional[jnp.ndarray] = None
                  ) -> jnp.ndarray:
+        if self._tail_restricted_ok(graph, items):
+            return self._score_tail_restricted(
+                graph, query_words, query_word_counts, users, queries,
+                items)
         feats = self.all_features(graph, query_words, query_word_counts)
         if items is None:
             return self.score_all_items(feats, users, queries)

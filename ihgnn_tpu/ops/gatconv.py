@@ -60,11 +60,49 @@ class GatPack:
     src_pad: int = struct.field(pytree_node=False, default=0)
 
 
+@struct.dataclass
+class ChunkedGatPack:
+    """K GatPacks over contiguous dst-sorted entry slices.
+
+    Beyond ~2M entries one grid leaves a stage with rows past the dg
+    exchange cap (the chunking rationale of ops/packing.ChunkedHyperPack
+    applies verbatim). Chunks slice the DST-sorted entry list, so each
+    destination node's entries live in at most two adjacent chunks —
+    per-chunk segment max/sum outputs combine with elementwise
+    max/add over [*, N] arrays (cheap at node scale)."""
+    packs: Any
+    n: int = struct.field(pytree_node=False, default=0)
+    nnz: int = struct.field(pytree_node=False, default=0)
+    src_pad: int = struct.field(pytree_node=False, default=0)
+
+
 def build_gat_pack(src: np.ndarray, dst: np.ndarray, node_count: int,
-                   live: np.ndarray = None, cols: int = 1024):
+                   live: np.ndarray = None, cols: int = 1024,
+                   chunk_rows_cap: int = 2048):
     """Pack a dst-SORTED edge list for `gat_conv_t`, or None on W_CAP
     fallback. ``live``: per-entry validity (mesh-padding val==0 entries
-    are excluded from attention like `_GatCore`'s entry_mask)."""
+    are excluded from attention like `_GatCore`'s entry_mask). Entry
+    lists longer than chunk_rows_cap * cols chunk into a
+    ChunkedGatPack."""
+    nnz_total = int(np.shape(src)[0])
+    s = chunk_rows_cap * cols
+    if chunk_rows_cap and nnz_total > s:
+        k = -(-nnz_total // s)
+        subs = []
+        for j in range(k):
+            sl = slice(j * s, (j + 1) * s)
+            pk = build_gat_pack(np.asarray(src)[sl], np.asarray(dst)[sl],
+                                node_count,
+                                None if live is None
+                                else np.asarray(live)[sl],
+                                cols=cols, chunk_rows_cap=0)
+            if pk is None:
+                return None
+            subs.append(pk)
+        src_pad = max(pk.src_pad for pk in subs)
+        subs = [pk.replace(src_pad=src_pad) for pk in subs]
+        return ChunkedGatPack(packs=tuple(subs), n=int(node_count),
+                              nnz=nnz_total, src_pad=src_pad)
     from concurrent.futures import ThreadPoolExecutor
 
     from ihgnn_tpu.ops.packing import (EXPAND_COLS, W_CAP, _role_pack,
@@ -167,58 +205,101 @@ def _leaky(x):
     return jnp.where(x > 0, x, LEAKY_SLOPE * x)
 
 
+def _packs(pk):
+    return pk.packs if isinstance(pk, ChunkedGatPack) else (pk,)
+
+
 def _gat_impl(x_t, khead, bhead, pk, head):
-    """Forward; returns (out [d, n] f32, residuals)."""
+    """Forward; returns (out [d, n] f32, residuals). Chunked packs loop
+    contiguous dst-range slices; per-chunk segment outputs combine with
+    elementwise max/add over [*, n] node arrays."""
     d, n = x_t.shape
     x_pad = _pad_nodes(x_t, pk.src_pad)
-    xs = _role_forward(x_pad, pk.src_rp, pk.rows, pk.cols)   # [d, K_pad]
+    packs = _packs(pk)
     if head == "concat":
         w_src, w_dst = khead[:d, 0], khead[d:, 0]
-        sse = w_src[None, :] @ xs                            # [1, K_pad]
-        sd_n = w_dst[None, :] @ x_t
-        sde = _expand(_pad_nodes(sd_n, pk.src_pad), pk.dst_exp)
-        pre = sse + sde + bhead[:, None]
-        xd = None
-    else:                                                    # product head
-        xd = _expand(x_pad, pk.dst_exp)                      # [d, K_pad]
-        pre = khead[:, 0][None, :] @ (xs * xd) + bhead[:, None]
-    s = jnp.where(pk.entry_mask > 0, _leaky(pre), -1e30)
-    m = _seg_max(s, pk)[:, :n]
-    me = _expand(_pad_nodes(m, pk.src_pad), pk.dst_exp)
-    w_ = jnp.exp(s - me) * pk.entry_mask
-    den = _seg_sum(w_, pk)                                   # [1, n]
-    dene = _expand(_pad_nodes(den, pk.src_pad), pk.dst_exp)
-    alpha = w_ / jnp.maximum(dene, 1e-30)
-    out = _seg_sum(xs * alpha, pk)                           # [d, n] f32
-    return out, (xs, xd, alpha, pre)
+        sd_pad = _pad_nodes(w_dst[None, :] @ x_t, pk.src_pad)
+
+    xs_l, xd_l, pre_l = [], [], []
+    for p in packs:
+        xs = _role_forward(x_pad, p.src_rp, p.rows, p.cols)  # [d, K_pad]
+        if head == "concat":
+            pre = (w_src[None, :] @ xs + _expand(sd_pad, p.dst_exp)
+                   + bhead[:, None])
+            xd = None
+        else:                                                # product head
+            xd = _expand(x_pad, p.dst_exp)
+            pre = khead[:, 0][None, :] @ (xs * xd) + bhead[:, None]
+        xs_l.append(xs)
+        xd_l.append(xd)
+        pre_l.append(pre)
+
+    s_l = [jnp.where(p.entry_mask > 0, _leaky(pre), -1e30)
+           for p, pre in zip(packs, pre_l)]
+    m = None
+    for p, s in zip(packs, s_l):
+        mk = _seg_max(s, p)[:, :n]
+        m = mk if m is None else jnp.maximum(m, mk)
+    m_pad = _pad_nodes(m, pk.src_pad)
+    w_l = [jnp.exp(s - _expand(m_pad, p.dst_exp)) * p.entry_mask
+           for p, s in zip(packs, s_l)]
+    den = None
+    for p, w_ in zip(packs, w_l):
+        dk = _seg_sum(w_, p)
+        den = dk if den is None else den + dk
+    den_pad = _pad_nodes(den, pk.src_pad)
+    alpha_l = [w_ / jnp.maximum(_expand(den_pad, p.dst_exp), 1e-30)
+               for p, w_ in zip(packs, w_l)]
+    out = None
+    for p, xs, alpha in zip(packs, xs_l, alpha_l):
+        ok = _seg_sum(xs * alpha, p)
+        out = ok if out is None else out + ok
+    return out, (tuple(xs_l), tuple(xd_l), tuple(alpha_l), tuple(pre_l))
 
 
 def _gat_bwd_impl(x_t, khead, res, cot, pk, head):
     d, n = x_t.shape
-    xs, xd, alpha, pre = res
+    xs_l, xd_l, alpha_l, pre_l = res
+    packs = _packs(pk)
     cot_pad = _pad_nodes(cot.astype(jnp.float32), pk.src_pad)
-    cot_e = _expand(cot_pad, pk.dst_exp)                     # [d, K_pad]
-    dxs = alpha * cot_e
-    dalpha = jnp.sum(xs * cot_e, axis=0, keepdims=True)      # [1, K_pad]
-    tt = alpha * dalpha
-    tsum = _seg_sum(tt, pk)                                  # [1, n]
-    ds = tt - alpha * _expand(_pad_nodes(tsum, pk.src_pad), pk.dst_exp)
-    g = ds * jnp.where(pre > 0, 1.0, LEAKY_SLOPE) * pk.entry_mask
-    db = jnp.sum(g, axis=1)                                  # [1]
+
+    cot_e_l = [_expand(cot_pad, p.dst_exp) for p in packs]
+    dxs_l = [a * c for a, c in zip(alpha_l, cot_e_l)]
+    tt_l = [a * jnp.sum(xs * c, axis=0, keepdims=True)
+            for a, xs, c in zip(alpha_l, xs_l, cot_e_l)]
+    tsum = None
+    for p, tt in zip(packs, tt_l):
+        tk = _seg_sum(tt, p)
+        tsum = tk if tsum is None else tsum + tk
+    tsum_pad = _pad_nodes(tsum, pk.src_pad)
+    g_l = [(tt - a * _expand(tsum_pad, p.dst_exp))
+           * jnp.where(pre > 0, 1.0, LEAKY_SLOPE) * p.entry_mask
+           for p, tt, a, pre in zip(packs, tt_l, alpha_l, pre_l)]
+    db = sum(jnp.sum(g, axis=1) for g in g_l)                # [1]
+
     if head == "concat":
         w_src, w_dst = khead[:d, 0], khead[d:, 0]
-        dxs = dxs + w_src[:, None] * g
-        gd = _seg_sum(g, pk)                                 # [1, n]
-        dx = _src_scatter(dxs, pk) + w_dst[:, None] * gd
-        dw_src = jnp.sum(xs * g, axis=1)
+        gd = None
+        for p, g in zip(packs, g_l):
+            gk = _seg_sum(g, p)
+            gd = gk if gd is None else gd + gk
+        dx = w_dst[:, None] * gd
+        dw_src = None
+        for p, xs, g, dxs in zip(packs, xs_l, g_l, dxs_l):
+            dx = dx + _src_scatter(dxs + w_src[:, None] * g, p)
+            dws = jnp.sum(xs * g, axis=1)
+            dw_src = dws if dw_src is None else dw_src + dws
         dw_dst = jnp.sum(x_t * gd, axis=1)
         dkhead = jnp.concatenate([dw_src, dw_dst])[:, None]
     else:
         w_p = khead[:, 0]
-        dw_p = jnp.sum((xs * xd) * g, axis=1)
-        dxs = dxs + w_p[:, None] * g * xd
-        dxd = w_p[:, None] * g * xs
-        dx = _src_scatter(dxs, pk) + _seg_sum(dxd, pk)
+        dw_p, dx = None, None
+        for p, xs, xd, g, dxs in zip(packs, xs_l, xd_l, g_l, dxs_l):
+            dwk = jnp.sum((xs * xd) * g, axis=1)
+            dw_p = dwk if dw_p is None else dw_p + dwk
+            part = (_src_scatter(dxs + w_p[:, None] * g * xd, p)
+                    + _seg_sum(w_p[:, None] * g * xs, p))
+            dx = part if dx is None else dx + part
         dkhead = dw_p[:, None]
     return dx.astype(x_t.dtype), dkhead.astype(khead.dtype), db
 

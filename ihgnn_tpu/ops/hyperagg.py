@@ -874,6 +874,63 @@ def _sh_scatter_bwd(res, cot):
 _scatter_sharded.defvjp(_sh_scatter_fwd, _sh_scatter_bwd)
 
 
+# --- batch-restricted sharded scatter (round 5, docs/PARALLELISM.md
+# "tail psum"): the LAST GNN layer's output is consumed only at the
+# training batch's node rows (RawGnn.score), so combining its full [d, N]
+# node partial across shards wastes a whole class-1 collective — at the
+# 100M-edge plan shape that is one of four ~3.9 GB-wire all-reduces per
+# step. This op reduces ONLY the batch node columns: per shard the full
+# partial is still computed (same kernels), but the cross-shard psum
+# moves [d, 3*B(1+K)] ≈ 2 MB instead of [d, 35M].
+
+
+def _sh_scatter_at_impl(edge_t, nodes, skp):
+    P, data, mesh, plat = _sharded_specs(skp)
+
+    def body(e_loc, nodes_r, kp_st):
+        kp = _kp_local(kp_st)
+        e_pad = jnp.pad(e_loc, ((0, 0), (0, kp.e_pad - kp.e)))
+        partial = _scatter_impl(e_pad, kp)          # [d, n] f32
+        sel = jnp.take(partial, nodes_r, axis=1)    # [d, K]
+        return jax.lax.psum(sel, data)
+
+    with _impl_platform(plat):
+        return jax.shard_map(body, mesh=mesh,
+                             in_specs=(P(None, data), P(), P(data)),
+                             out_specs=P(),
+                             check_vma=False)(edge_t, nodes, skp.kp)
+
+
+@jax.custom_vjp
+def _scatter_at_sharded(edge_t, nodes, skp):
+    return _sh_scatter_at_impl(edge_t, nodes, skp)
+
+
+def _sh_scatter_at_fwd(edge_t, nodes, skp):
+    return (_sh_scatter_at_impl(edge_t, nodes, skp),
+            (nodes, skp, jnp.zeros((0,), edge_t.dtype)))
+
+
+def _sh_scatter_at_bwd(res, cot):
+    nodes, skp, e_token = res
+    # rebuild the sparse full-width cotangent (replicated — every shard
+    # computes it identically from the replicated batch cotangent; batch
+    # nodes repeat, so scatter-ADD) and reuse the plain scatter backward
+    d = cot.shape[0]
+    full = jnp.zeros((d, skp.kp.n), jnp.float32).at[:, nodes].add(cot)
+    grad, _ = _sh_scatter_bwd((skp, e_token), full)
+    return grad, _f0(nodes), _f0_tree(skp)
+
+
+_scatter_at_sharded.defvjp(_sh_scatter_at_fwd, _sh_scatter_at_bwd)
+
+
+def scatter_incidence_rows_t(graph, edge_t, nodes):
+    """Sharded H·E restricted to ``nodes`` columns: [d, E'] → [d, K]
+    (see _scatter_at_sharded). Only valid when graph.skp is set."""
+    return _scatter_at_sharded(edge_t, nodes, graph.skp)
+
+
 # ---------------------------------------------------------------------------
 # public op factories
 # ---------------------------------------------------------------------------

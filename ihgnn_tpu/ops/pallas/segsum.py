@@ -539,15 +539,17 @@ def csr_segment_sum_t(values_t: jnp.ndarray, segment_ids_2d: jnp.ndarray,
 
 
 def _make_segsum3_multi_kernel(out_transposed: bool, blocks: tuple,
-                               u_offs: tuple, nbuf_k: int):
+                               u_offs: tuple, nbuf_k: int,
+                               base_tile: int = 0):
     def kernel(*args):
         _segsum3_multi_kernel(*args, out_transposed=out_transposed,
-                              blocks=blocks, u_offs=u_offs, nbuf_k=nbuf_k)
+                              blocks=blocks, u_offs=u_offs, nbuf_k=nbuf_k,
+                              base_tile=base_tile)
     return kernel
 
 
 def _segsum3_multi_kernel(tptr_ref, vu_hbm, *rest, out_transposed, blocks,
-                          u_offs, nbuf_k):
+                          u_offs, nbuf_k, base_tile=0):
     """K-chunk [u|q|i] segment sum. ``rest`` unpacks as K vq refs, K vi
     refs, K ids refs, out_ref, then scratch (acc, vbuf, nbuf, sems, ctr).
     ``blocks``: per-chunk DMA block size (= pack seg_block); ``u_offs``:
@@ -560,7 +562,7 @@ def _segsum3_multi_kernel(tptr_ref, vu_hbm, *rest, out_transposed, blocks,
     acc, vbuf, nbuf, sems, ctr = rest[3 * k_chunks + 1:]
 
     t = pl.program_id(0)
-    node_base = t * TILE_N
+    node_base = (base_tile + t) * TILE_N
 
     @pl.when(t == 0)
     def _():
@@ -701,6 +703,48 @@ def csr_segment_sum3_multi(vu_full: jnp.ndarray, vqs, vis, ids_list,
     nbuf_k = 2 if k_chunks > 2 else NBUF
     max_block = max(blocks)
 
+    # SMEM holds ~1 MB: at stress-plus node counts (N = 35M at the
+    # 100M-plan shard leg) the K-row tile_ptr prefetch exceeds it, so the
+    # node-tile grid splits into several calls over tile ranges (the
+    # global streaming counters restart cleanly at each call's first
+    # range — fetch/wait loops start from each tile's own g0)
+    import os
+    smem_budget = int(os.environ.get("IHGNN_SEGSUM_SMEM_BUDGET",
+                                     900 << 10))
+    n_splits = 1
+    while (k_chunks * (n_tiles // n_splits + 2) * 4) > smem_budget:
+        n_splits *= 2
+    if n_splits > 1:
+        per = -(-n_tiles // n_splits)
+        outs = []
+        for sidx in range(n_splits):
+            t0 = sidx * per
+            t1 = min(n_tiles, t0 + per)
+            if t1 <= t0:
+                break
+            sub = _segsum3_multi_call(
+                vu_full, vqs, vis, ids_list, tptr_stack[:, t0:t1 + 1],
+                blocks, u_offs, nbuf_k, max_block, interpret,
+                out_transposed, base_tile=t0)
+            outs.append(sub)
+        out = jnp.concatenate(outs, axis=1 if out_transposed else 0)
+        return (out[:, :num_segments] if out_transposed
+                else out[:num_segments])
+
+    out = _segsum3_multi_call(vu_full, vqs, vis, ids_list, tptr_stack,
+                              blocks, u_offs, nbuf_k, max_block,
+                              interpret, out_transposed)
+    return (out[:, :num_segments] if out_transposed
+            else out[:num_segments])
+
+
+def _segsum3_multi_call(vu_full, vqs, vis, ids_list, tptr_stack, blocks,
+                        u_offs, nbuf_k, max_block, interpret,
+                        out_transposed, base_tile: int = 0):
+    k_chunks = len(vqs)
+    d = vu_full.shape[0]
+    n_tiles = tptr_stack.shape[1] - 1
+    n_pad = n_tiles * TILE_N
     if out_transposed:
         out_spec = pl.BlockSpec((d, TILE_N), lambda t, ptr: (0, t),
                                 memory_space=pltpu.VMEM)
@@ -727,15 +771,14 @@ def csr_segment_sum3_multi(vu_full: jnp.ndarray, vqs, vis, ids_list,
             pltpu.SMEM((2 * k_chunks,), jnp.int32),
         ],
     )
-    out = pl.pallas_call(
+    return pl.pallas_call(
         _make_segsum3_multi_kernel(out_transposed, tuple(blocks),
-                                   tuple(u_offs), nbuf_k),
+                                   tuple(u_offs), nbuf_k,
+                                   base_tile=base_tile),
         out_shape=out_shape,
         grid_spec=grid_spec,
         interpret=interpret,
     )(tptr_stack, vu_full, *vqs, *vis, *ids_list)
-    return (out[:, :num_segments] if out_transposed
-            else out[:num_segments])
 
 
 _NEG = -3.0e38
@@ -786,7 +829,11 @@ def _segmax_kernel(tile_ptr_ref, scores_hbm, ids_hbm, out_ref, acc, vbuf,
         return 0
 
     jax.lax.fori_loop(g0, g1 + 1, body, 0, unroll=False)
-    out_ref[...] = acc[...]
+    # the out block is (1, 8, TILE_N): real Mosaic rejects sub-8 sublane
+    # blocks, so each tile broadcasts its [1, TILE_N] row across 8
+    # sublanes (the caller reads plane 0)
+    out_ref[...] = jnp.broadcast_to(acc[...].reshape(1, 1, TILE_N),
+                                    (1, 8, TILE_N))
 
 
 @functools.partial(jax.jit, static_argnames=("num_segments", "interpret",
@@ -809,7 +856,7 @@ def csr_segment_max_t(scores_2d: jnp.ndarray, segment_ids_2d: jnp.ndarray,
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 2,
-        out_specs=pl.BlockSpec((1, TILE_N), lambda t, ptr: (t, 0),
+        out_specs=pl.BlockSpec((1, 8, TILE_N), lambda t, ptr: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((1, TILE_N), jnp.float32),
@@ -820,11 +867,11 @@ def csr_segment_max_t(scores_2d: jnp.ndarray, segment_ids_2d: jnp.ndarray,
     )
     out = pl.pallas_call(
         functools.partial(_segmax_kernel, block=block),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, TILE_N), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, 8, TILE_N), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(tile_ptr, scores_2d, segment_ids_2d)
-    return out.reshape(1, n_tiles * TILE_N)
+    return out[:, 0, :].reshape(1, n_tiles * TILE_N)
 
 
 def csr_segment_sum(values: jnp.ndarray, segment_ids_2d: jnp.ndarray,

@@ -33,12 +33,26 @@ TABLE_PARAM_NAMES = ("user_table", "item_table", "vocab_table")
 _ROWMAJOR_MODULES = ("KG", "PS")
 
 
+def _table_axes():
+    """Mesh axes the table ROWS shard over. Default: 'model' only. The
+    100M-edge deployment (docs/PARALLELISM.md) runs mesh data=8 x model=1
+    and needs the 13.4 GB of table+Adam state split over all 8 chips —
+    IHGNN_TABLE_SHARD_BOTH=1 shards rows over (model, data) combined
+    (row count must pad to data*model; models/embedding.py
+    ``row_multiple``). Lookups then all-to-all over both axes."""
+    import os
+    if os.environ.get("IHGNN_TABLE_SHARD_BOTH", "0") == "1":
+        return (MODEL_AXIS, DATA_AXIS)
+    return MODEL_AXIS
+
+
 def _table_spec(keys, leaf):
-    """PartitionSpec for a table leaf: shard the rows axis over 'model'."""
+    """PartitionSpec for a table leaf: shard the rows axis (_table_axes)."""
     ndim = getattr(leaf, "ndim", 0)
+    axes = _table_axes()
     if any(k in _ROWMAJOR_MODULES for k in keys):
-        return P(MODEL_AXIS, *([None] * (ndim - 1)))
-    return P(*([None] * (ndim - 1)), MODEL_AXIS)
+        return P(axes, *([None] * (ndim - 1)))
+    return P(*([None] * (ndim - 1)), axes)
 
 
 def put_global(x, sharding: NamedSharding):

@@ -96,3 +96,29 @@ def test_gat_conv_grads_match(setup, head):
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=3e-4, atol=3e-5)
+
+
+def test_gat_conv_chunked_matches_single():
+    """ChunkedGatPack (tiny chunk cap) == single-pack values+grads."""
+    from ihgnn_tpu.ops.gatconv import ChunkedGatPack, build_gat_pack
+
+    rng = np.random.default_rng(7)
+    n, e = 600, 9000
+    src = rng.integers(0, n, e)
+    dst = np.sort(rng.integers(0, n, e))
+    x = jnp.asarray(rng.standard_normal((D, n)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((2 * D, 1)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((1,)).astype(np.float32))
+    pk1 = build_gat_pack(src, dst, n)
+    pk2 = build_gat_pack(src, dst, n, cols=128, chunk_rows_cap=16)
+    assert isinstance(pk2, ChunkedGatPack)
+
+    def loss(pk):
+        return lambda x, k, b: jnp.sum(
+            jnp.sin(gat_conv_t(x, k, b, pk, "concat")))
+
+    l1, g1 = jax.value_and_grad(loss(pk1))(x, k, b)
+    l2, g2 = jax.value_and_grad(loss(pk2))(x, k, b)
+    assert float(l1) == pytest.approx(float(l2), rel=1e-5)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=2e-4, atol=2e-5)

@@ -28,12 +28,21 @@ def main():
 
     U, Q, I, E, D = 200_000, 100_000, 400_000, 2_000_000, 32
     rng = np.random.default_rng(0)
-    uqif = np.stack([
-        rng.integers(0, U, E), rng.integers(0, Q, E),
-        rng.integers(0, I, E), np.ones(E, np.int64)], axis=1)
     n = U + Q + I
-    graph = build_graph2d(uqif.astype(np.int64), n, U, Q)
-    print(f"# 2D graph nnz={graph.nnz}", flush=True)
+    import os, pickle
+    cache = "/root/repo/.cache/gat_probe_graph_v3.pkl"
+    if os.path.exists(cache):
+        with open(cache, "rb") as f:
+            graph = pickle.load(f)
+    else:
+        uqif = np.stack([
+            rng.integers(0, U, E), rng.integers(0, Q, E),
+            rng.integers(0, I, E), np.ones(E, np.int64)], axis=1)
+        graph = build_graph2d(uqif.astype(np.int64), n, U, Q)
+        with open(cache, "wb") as f:
+            pickle.dump(graph, f)
+    print(f"# 2D graph nnz={graph.nnz} routed={graph.gat_pk is not None}",
+          flush=True)
 
     x = jnp.asarray(rng.standard_normal((D, n)).astype(np.float32))
     layer = GATLayer(D, D)

@@ -46,7 +46,8 @@ def abstractify(tree, sharding_tree):
                         is_leaf=lambda x: x is None)
 
 
-def lower_for_topology(mesh, data_axis, model_axis, bf16_stream):
+def lower_for_topology(mesh, data_axis, model_axis, bf16_stream,
+                       row_multiple=None):
     from bench import build_bench_graph
     from ihgnn_tpu.config import Config, MeshConfig, ModelConfig, TrainConfig
     from ihgnn_tpu.data.dataset import Batch
@@ -74,7 +75,8 @@ def lower_for_topology(mesh, data_axis, model_axis, bf16_stream):
     graph_skp = pad_hypergraph_for_mesh(graph, data_axis, mesh=mesh,
                                         pack_kernels=True)
     model = RawGnn(cfg=cfg.model, user_count=U, query_count=Q, item_count=I,
-                   vocab_size=V, table_row_multiple=model_axis)
+                   vocab_size=V,
+                   table_row_multiple=row_multiple or model_axis)
     tx = make_optimizer(cfg)
     state = init_state(model, jax.random.key(0), graph_cpu, qw, qc, cfg, tx)
 
@@ -126,16 +128,24 @@ def main():
                       "hardware needed). E=100k U=20k Q=10k I=40k d=32 "
                       "B=512 bf16_stream, 2 layers.",
            "meshes": {}}
-    for data_axis, model_axis in ((4, 2), (8, 1)):
+    # third config = the 100M-edge PLAN mesh: data=8, tables row-sharded
+    # over ALL 8 chips (IHGNN_TABLE_SHARD_BOTH — docs/PARALLELISM.md
+    # memory budget requires the 13.4 GB table+Adam state split /8)
+    for data_axis, model_axis, both_tables in ((4, 2, False), (8, 1, False),
+                                               (8, 1, True)):
         mesh = topologies.make_mesh(topo, (data_axis, model_axis),
                                     ("data", "model"))
+        os.environ["IHGNN_TABLE_SHARD_BOTH"] = "1" if both_tables else "0"
+        name = (f"data{data_axis}_model{model_axis}"
+                + ("_tables8" if both_tables else ""))
         entry = {}
         for tag, flag in (("bf16_rs", "1"), ("f32_rs", "0")):
             os.environ["IHGNN_BF16_RS"] = flag
-            print(f"# lowering data={data_axis} model={model_axis} "
-                  f"{tag}...", flush=True)
-            lowered = lower_for_topology(mesh, data_axis, model_axis,
-                                         bf16_stream=True)
+            print(f"# lowering {name} {tag}...", flush=True)
+            lowered = lower_for_topology(
+                mesh, data_axis, model_axis, bf16_stream=True,
+                row_multiple=(data_axis * model_axis if both_tables
+                              else None))
             print("# compiling...", flush=True)
             hlo = lowered.compile().as_text()
             entry[tag] = account(hlo)
@@ -143,7 +153,8 @@ def main():
                   f"{entry[tag]['total_bytes']/1e6:.1f} MB", flush=True)
         entry["rs_cut_bytes"] = (entry["f32_rs"]["total_bytes"]
                                  - entry["bf16_rs"]["total_bytes"])
-        out["meshes"][f"data{data_axis}_model{model_axis}"] = entry
+        out["meshes"][name] = entry
+    os.environ.pop("IHGNN_TABLE_SHARD_BOTH", None)
     os.environ.pop("IHGNN_BF16_RS", None)
     with open("/root/repo/SCALING_r05.json", "w") as fh:
         json.dump(out, fh, indent=1)
