@@ -259,8 +259,10 @@ def build_graph2d(uqif: np.ndarray, node_count: int, user_count: int,
     if pk_role is not None and os.environ.get("IHGNN_GAT_PACK", "1") == "1":
         try:
             from ihgnn_tpu.ops.gatconv import build_gat_pack
-            gat_pk = build_gat_pack(crow[dst_order], ccol[dst_order],
-                                    node_count, live=val_sum[dst_order])
+            gat_pk = build_gat_pack(
+                crow[dst_order], ccol[dst_order], node_count,
+                live=val_sum[dst_order],
+                src_cuts=(user_count, user_count + query_count))
         except ValueError:
             gat_pk = None
 

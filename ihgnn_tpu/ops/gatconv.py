@@ -78,27 +78,58 @@ class ChunkedGatPack:
 
 def build_gat_pack(src: np.ndarray, dst: np.ndarray, node_count: int,
                    live: np.ndarray = None, cols: int = 1024,
-                   chunk_rows_cap: int = 2048):
+                   chunk_rows_cap: int = 2048, src_cuts=()):
     """Pack a dst-SORTED edge list for `gat_conv_t`, or None on W_CAP
     fallback. ``live``: per-entry validity (mesh-padding val==0 entries
     are excluded from attention like `_GatCore`'s entry_mask). Entry
     lists longer than chunk_rows_cap * cols chunk into a
-    ChunkedGatPack."""
+    ChunkedGatPack.
+
+    ``src_cuts``: node-id boundaries of the id space's regions
+    ([users | queries | items] for the 2D graph). A chunk whose
+    destinations draw sources from DISJOINT regions (query dsts receive
+    from users AND items) has sorted-src rows straddling the gap — far
+    past the banded-window cap. Such chunks split into per-src-region
+    sub-packs (a STABLE partition keeps each part dst-sorted, and the
+    chunk combination math — per-pack segment max/sum joined by
+    elementwise max/add — is partition-agnostic)."""
     nnz_total = int(np.shape(src)[0])
-    s = chunk_rows_cap * cols
-    if chunk_rows_cap and nnz_total > s:
-        k = -(-nnz_total // s)
+    s = (chunk_rows_cap or 0) * cols
+    if chunk_rows_cap and (nnz_total > s or src_cuts):
+        src, dst = np.asarray(src), np.asarray(dst)
+        live = None if live is None else np.asarray(live)
+        k = max(1, -(-nnz_total // s)) if s else 1
         subs = []
         for j in range(k):
-            sl = slice(j * s, (j + 1) * s)
-            pk = build_gat_pack(np.asarray(src)[sl], np.asarray(dst)[sl],
-                                node_count,
-                                None if live is None
-                                else np.asarray(live)[sl],
+            sl = slice(j * s, (j + 1) * s) if s else slice(None)
+            pk = build_gat_pack(src[sl], dst[sl], node_count,
+                                None if live is None else live[sl],
                                 cols=cols, chunk_rows_cap=0)
-            if pk is None:
+            if pk is not None:
+                subs.append(pk)
+                continue
+            # split this chunk by src region and retry per part
+            cuts = list(src_cuts) + [node_count + 1]
+            lo = 0
+            ok = True
+            for hi in cuts:
+                m = (src[sl] >= lo) & (src[sl] < hi)
+                lo = hi
+                if not m.any():
+                    continue
+                pp = build_gat_pack(src[sl][m], dst[sl][m], node_count,
+                                    None if live is None else live[sl][m],
+                                    cols=cols, chunk_rows_cap=0)
+                if pp is None:
+                    ok = False
+                    break
+                subs.append(pp)
+            if not ok:
                 return None
-            subs.append(pk)
+        if not subs:
+            return None
+        if len(subs) == 1:
+            return subs[0]
         src_pad = max(pk.src_pad for pk in subs)
         subs = [pk.replace(src_pad=src_pad) for pk in subs]
         return ChunkedGatPack(packs=tuple(subs), n=int(node_count),

@@ -711,8 +711,15 @@ def csr_segment_sum3_multi(vu_full: jnp.ndarray, vqs, vis, ids_list,
     import os
     smem_budget = int(os.environ.get("IHGNN_SEGSUM_SMEM_BUDGET",
                                      900 << 10))
+    # SMEM operands pad to (8, 128)-multiples — size the split on the
+    # PADDED footprint (a [6, 34181] int32 prefetch allocates [8, 34304])
+    def _padded_bytes(n_splits):
+        rows = -(-k_chunks // 8) * 8
+        cols_p = -(-(n_tiles // n_splits + 2) // 128) * 128
+        return rows * cols_p * 4
+
     n_splits = 1
-    while (k_chunks * (n_tiles // n_splits + 2) * 4) > smem_budget:
+    while _padded_bytes(n_splits) > smem_budget:
         n_splits *= 2
     if n_splits > 1:
         per = -(-n_tiles // n_splits)

@@ -76,8 +76,9 @@ def main():
     # combining — docs/PARALLELISM.md); layer outputs cast back to bf16
     # between layers like the production gather entry does
     print("# materializing [d, 35M] node features...", flush=True)
-    x0 = jnp.asarray(rng.standard_normal((D, 2 ** 20)).astype(np.float32))
-    x0 = jnp.tile(x0, (1, -(-N // 2 ** 20)))[:, :N].astype(jnp.bfloat16)
+    x0 = jnp.asarray(rng.standard_normal((D, 2 ** 20))
+                     .astype(np.float32)).astype(jnp.bfloat16)
+    x0 = jnp.tile(x0, (1, -(-N // 2 ** 20)))[:, :N]
 
     layer3 = IHGNNLayer(D, D, interaction_order=3, bf16_stream=True)
     layer1 = IHGNNLayer(D, D, interaction_order=1, bf16_stream=True)
@@ -87,11 +88,17 @@ def main():
                               graph)
 
     def fwd(x0, p3, p1, graph, scale):
-        x0f = (x0 * scale).astype(jnp.float32)
-        l3 = jax.checkpoint(lambda x: layer3.apply(p3, x, graph))
-        l1 = jax.checkpoint(lambda x: layer1.apply(p1, x, graph))
-        x1 = l3(x0f).astype(jnp.bfloat16).astype(jnp.float32)
-        x2 = l1(x1)
+        # features stay bf16 END-TO-END between layers (the production
+        # wire format of the bf16-psum combining): the layer upcasts
+        # internally where needed and its f32 [d, N] output casts back
+        # immediately — a 35M-node f32 feature array (4.5 GB) plus its
+        # f32 cotangent would blow the 16 GB budget
+        x0b = (x0 * scale).astype(jnp.bfloat16)
+        l3 = jax.checkpoint(
+            lambda x: layer3.apply(p3, x, graph).astype(jnp.bfloat16))
+        l1 = jax.checkpoint(
+            lambda x: layer1.apply(p1, x, graph).astype(jnp.bfloat16))
+        x2 = l1(l3(x0b))
         return jnp.sum((x2 * x2).astype(jnp.float32))
 
     @jax.jit
