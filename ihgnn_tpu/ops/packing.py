@@ -352,10 +352,14 @@ def build_hyper_kernel_pack(i3: np.ndarray, node_count: int,
     e = i3.shape[0]
     if e == 0:
         return None
-    cols = int(os.environ.get("IHGNN_PACK_COLS", cols))
+    env_cols = os.environ.get("IHGNN_PACK_COLS")
+    if env_cols is not None:
+        cols = int(env_cols)
     if os.environ.get("IHGNN_SIGMA") == "0":    # A/B probe override
         sigma = False
-    rows, cols = pick_grid(e, cols)
+    # an explicit override is authoritative (bypasses the sqrt-ish cap):
+    # wide grids shorten the transposed mid stage — see pick_grid
+    rows, cols = pick_grid(e, cols, force_c=env_cols is not None)
 
     # Long grids chunk into contiguous edge slices that each pack at a
     # dg-eligible [<= cap, cols] grid (see ChunkedHyperPack). σ path only

@@ -41,10 +41,21 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def pick_grid(e: int, c: int = 1024) -> Tuple[int, int]:
+def pick_grid(e: int, c: int = 1024, force_c: bool = False
+              ) -> Tuple[int, int]:
     """[R, C] grid for an E-element permutation: C a power of two (Euler
-    coloring), R a multiple of 128 (transpose tiling). E pads to R*C."""
-    c = min(c, max(128, 1 << (e.bit_length() // 2)))
+    coloring), R a multiple of 128 (transpose tiling). E pads to R*C.
+
+    Default heuristic caps C near sqrt(E) (squarish grids). ``force_c``
+    keeps the requested C (only shrinking when R would fall below one
+    128-row transpose tile) — wide grids SHORTEN the transposed mid
+    stage's rows, cutting the dg exchange mux ~linearly in R/128
+    (docs/STEP_ACCOUNTING.json: the mux tree is ~80% of each stage pass).
+    """
+    if not force_c:
+        c = min(c, max(128, 1 << (e.bit_length() // 2)))
+    while c > 128 and -(-e // c) <= 64:     # keep at least half a row tile
+        c //= 2
     r = _round_up(-(-e // c), 128)
     return r, c
 
