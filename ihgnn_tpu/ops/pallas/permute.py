@@ -24,6 +24,7 @@ transposed [C, R] grid).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, NamedTuple, Tuple
 
 import jax
@@ -132,6 +133,49 @@ def row_local_permute(x: jnp.ndarray, p: jnp.ndarray,
         compiler_params=_RLP_VMEM,
         interpret=interpret,
     )(x, p)
+
+
+_MXU_SWAP = os.environ.get("IHGNN_MXU_SWAP", "1") == "1"
+
+
+def _eye128(dtype):
+    return (jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+            ).astype(dtype)
+
+
+def _mxu_swap_ok(x) -> bool:
+    """bf16 [d, 128, 128] blocks can transpose on the MXU: xᵀ =
+    dot_general(x, I, contracting dim 0 of both) selects exactly one bf16
+    value per output (exact; f32 operands would round to bf16 — VPU path
+    for those). In VPU-bound kernels (tlp_dg_pre at 4.85 ms vs the
+    ~2.0 ms Pallas DMA roof, docs/PALLAS_COPY_PROBE.json) this frees the
+    VPU for the gather/mux work the transpose otherwise serializes with;
+    the MXU is idle there."""
+    return (_MXU_SWAP and x.dtype == jnp.bfloat16
+            and x.shape[1] == 128 and x.shape[2] == 128)
+
+
+# fraction of the d slices transposed on the MXU; the rest run the VPU
+# swap CONCURRENTLY (both units work the same block). Measured balance:
+# MXU ~0.31 us/slice vs VPU ~0.53 — ~0.6 equalizes. Full-MXU measured
+# SLOWER than VPU in transpose-only chunk programs (serialized dots).
+_MXU_SWAP_FRAC = float(os.environ.get("IHGNN_MXU_SWAP_FRAC", "0.625"))
+
+
+def _mxu_swap_store(o_ref, x):
+    """o_ref[...] = swapaxes(x, 1, 2) with the d slices split between
+    MXU identity dots and the VPU swap so the two units overlap (caller
+    checks _mxu_swap_ok)."""
+    d = x.shape[0]
+    n_mxu = max(0, min(d, int(round(d * _MXU_SWAP_FRAC))))
+    eye = _eye128(x.dtype)
+    for dd in range(n_mxu):
+        o_ref[dd] = jax.lax.dot_general(
+            x[dd], eye, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(x.dtype)
+    if n_mxu < d:
+        o_ref[n_mxu:] = jnp.swapaxes(x[n_mxu:], 1, 2)
 
 
 def _transpose_kernel(x_ref, o_ref):
@@ -806,8 +850,12 @@ def _tlp_dg_kernel(x_hbm, p_ref, o_ref, xv, y_ref, sem, *, w: int):
         jax.lax.fori_loop(0, rt // grp, body, 0, unroll=False)
 
     off = pl.multiple_of(i * CHUNK, CHUNK)
-    y_ref[...] = xv[:, :, pl.ds(off, CHUNK)]
-    o_ref[...] = jnp.swapaxes(y_ref[...], 1, 2)
+    xs = xv[:, :, pl.ds(off, CHUNK)]
+    if _mxu_swap_ok(xs):
+        _mxu_swap_store(o_ref, xs)      # frees the VPU for the dg body
+    else:
+        y_ref[...] = xs
+        o_ref[...] = jnp.swapaxes(y_ref[...], 1, 2)
 
 
 def tlp_dg_ok(d: int, r: int, c: int, dtype) -> bool:
@@ -877,8 +925,23 @@ def _tlp_dg_pre_kernel(x_hbm, p_ref, o_ref, xv, tbuf, y_ref, sems, *,
             def _():
                 dma(k + 1).start()
             dma(k).wait()
-            xv[:, :, pl.ds(k * TLP_RT, TLP_RT)] = jnp.swapaxes(
-                tbuf[jax.lax.rem(k, 2)], 1, 2)
+            tb = tbuf[jax.lax.rem(k, 2)]
+            off_k = k * TLP_RT
+            if _mxu_swap_ok(tb):
+                d_ = tb.shape[0]
+                n_mxu = max(0, min(d_, int(round(d_ * _MXU_SWAP_FRAC))))
+                eye = _eye128(tb.dtype)
+                for dd in range(n_mxu):
+                    xv[dd, :, pl.ds(off_k, TLP_RT)] = (
+                        jax.lax.dot_general(
+                            tb[dd], eye, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                        .astype(tb.dtype))
+                if n_mxu < d_:
+                    xv[n_mxu:, :, pl.ds(off_k, TLP_RT)] = jnp.swapaxes(
+                        tb[n_mxu:], 1, 2)
+            else:
+                xv[:, :, pl.ds(off_k, TLP_RT)] = jnp.swapaxes(tb, 1, 2)
             return 0
 
         jax.lax.fori_loop(0, nk, fetch_body, 0, unroll=False)
@@ -892,8 +955,12 @@ def _tlp_dg_pre_kernel(x_hbm, p_ref, o_ref, xv, tbuf, y_ref, sems, *,
         jax.lax.fori_loop(0, rt // grp, body, 0, unroll=False)
 
     off = pl.multiple_of(i * CHUNK, CHUNK)
-    y_ref[...] = xv[:, :, pl.ds(off, CHUNK)]
-    o_ref[...] = jnp.swapaxes(y_ref[...], 1, 2)
+    xs = xv[:, :, pl.ds(off, CHUNK)]
+    if _mxu_swap_ok(xs):
+        _mxu_swap_store(o_ref, xs)      # frees the VPU for the dg body
+    else:
+        y_ref[...] = xs
+        o_ref[...] = jnp.swapaxes(y_ref[...], 1, 2)
 
 
 def tlp_dg_pre_ok(d: int, r: int, c: int, dtype) -> bool:
