@@ -68,6 +68,8 @@ def main():
     ap.add_argument("--iters", type=int, default=15)
     args = ap.parse_args()
 
+    os.environ.setdefault("IHGNN_PACK_COLS", "2048")   # the bench form
+
     from bench import build_bench_graph
     from ihgnn_tpu.models.interaction import FeatureInteractor
     from ihgnn_tpu.ops.hyperagg import (_expand, _role_forward, _segsum_regions,

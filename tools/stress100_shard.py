@@ -45,7 +45,10 @@ D = 32
 
 def build_shard_graph():
     from ihgnn_tpu.graph import build_hypergraph
-    cache = "/root/repo/.cache/stress100_shard_v1.pkl"
+    knobs = "_".join(f"{k}{os.environ.get(k, '')}" for k in
+                     ("IHGNN_PACK_COLS", "IHGNN_CHUNK_ROWS_CAP")
+                     if os.environ.get(k))
+    cache = f"/root/repo/.cache/stress100_shard_v1{knobs}.pkl"
     if os.path.exists(cache):
         with open(cache, "rb") as f:
             return pickle.load(f)
