@@ -355,11 +355,17 @@ def main():
                             absorb=(pi_tab, rho_tab, sig_mask, a_cols))
 
         @jax.jit
-        def ia_fn(u, s):
+        def ia_jit(u, q, i, s):
+            # q/i enter as ARGUMENTS: closed-over [d, E] streams bake into
+            # the compile payload and overflow the remote compile helper
+            # (HTTP 413) — CLAUDE.md constants rule
             o1, o2 = mod3.apply(params3, ((u + (s * 0).astype(u.dtype)),
-                                          qb, ib),
+                                          q, i),
                                 absorb=(pi_tab, rho_tab, sig_mask, a_cols))
             return o1, jnp.sum(o1[:, :8].astype(jnp.float32))
+
+        def ia_fn(u, s):
+            return ia_jit(u, qb, ib, s)
 
         ms, o1 = timed(ia_fn, ub, args.iters)
         # reference: i t1→σ via the unpacked π permutation, then the plain
