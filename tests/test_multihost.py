@@ -88,7 +88,7 @@ def _run_pair(data_axis: int, model_axis: int, ckpt_dir: str = "-"):
         text=True, cwd=REPO) for i in range(2)]
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=300)
+        out, _ = p.communicate(timeout=600)   # loaded boxes: 300 was marginal
         outs.append(out)
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out}"
